@@ -1,0 +1,705 @@
+"""Dual-stream Swin Transformer backbone with MAPA / MPG / DSCF — the IR-ADS
+flagship model, rebuilt TPU-native.
+
+Capability parity with the reference implementation at
+semseg/models/backbones/swin.py (citations inline), re-designed for XLA:
+
+  * NHWC layout throughout; tokens stay on a (B, H, W, C) grid — no repeated
+    (B, L, C) flatten/unflatten bookkeeping.
+  * The SW-MSA shift mask and the relative-position index are compile-time
+    constants (shapes are static under jit) instead of per-step device code.
+  * Window attention is a batch of (N, N) matmuls on the MXU; a fused Pallas
+    kernel is available via ``attn_impl='pallas'``
+    (ir_ads_tpu/ops/pallas_swin.py) and must match the XLA path.
+  * Deformable cross-modal fusion (DSCF / DAttentionMM) uses the shared
+    ``grid_sample`` primitive (ir_ads_tpu/ops/grid_sample.py) — XLA gathers,
+    differentiable, fused under jit.
+  * Randomness (MMST modality masking, dropout, drop-path) is explicit via
+    flax RNG collections rather than global python/torch RNG
+    (reference swin.py:1093-1105 uses `random.sample` mid-forward).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ir_ads_tpu.ops.grid_sample import grid_sample, make_ref_grid
+from ir_ads_tpu.ops.layers import (
+    DropPath,
+    Mlp,
+    PatchEmbed,
+    PatchMerging,
+    kaiming_uniform_init,
+    trunc_normal_init,
+)
+from ir_ads_tpu.ops.window_attention import (
+    gather_rel_pos_bias,
+    shift_window_mask,
+    window_attention,
+    window_partition,
+    window_reverse,
+)
+
+Dtype = Any
+
+
+class WindowMSA(nn.Module):
+    """W-MSA with relative position bias (reference swin.py:23-125)."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # (B*nW, N, C)
+        mask: Optional[jax.Array],  # (nW, N, N) or None
+        deterministic: bool = True,
+    ) -> jax.Array:
+        bn, n, c = x.shape
+        ws = self.window_size
+        head_dim = c // self.num_heads
+        scale = head_dim**-0.5
+
+        table = self.param(
+            "rel_pos_bias_table",
+            trunc_normal_init(0.02),
+            ((2 * ws - 1) * (2 * ws - 1), self.num_heads),
+        )
+        qkv = nn.Dense(
+            3 * c,
+            use_bias=self.qkv_bias,
+            dtype=self.dtype,
+            kernel_init=trunc_normal_init(),
+            name="qkv",
+        )(x)
+        qkv = qkv.reshape(bn, n, 3, self.num_heads, head_dim)
+        q, k, v = (
+            qkv[:, :, 0].transpose(0, 2, 1, 3),
+            qkv[:, :, 1].transpose(0, 2, 1, 3),
+            qkv[:, :, 2].transpose(0, 2, 1, 3),
+        )
+        bias = gather_rel_pos_bias(table, ws, ws)  # (heads, N, N)
+        out = window_attention(q, k, v, bias, mask, scale)
+        out = out.transpose(0, 2, 1, 3).reshape(bn, n, c)
+        out = nn.Dense(
+            c, dtype=self.dtype, kernel_init=trunc_normal_init(), name="proj"
+        )(out)
+        if self.proj_drop > 0.0 and not deterministic:
+            out = nn.Dropout(self.proj_drop)(out, deterministic=False)
+        return out
+
+
+class ShiftWindowMSA(nn.Module):
+    """Pad → (cyclic shift) → window partition → W-MSA → reverse
+    (reference swin.py:128-254)."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    shift_size: int = 0
+    drop_path_rate: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        b, h, w, c = x.shape
+        ws = self.window_size
+        shift = self.shift_size
+
+        pad_b = (ws - h % ws) % ws
+        pad_r = (ws - w % ws) % ws
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        hp, wp = h + pad_b, w + pad_r
+
+        if shift > 0:
+            x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(shift_window_mask(hp, wp, ws, shift))
+        else:
+            mask = None
+
+        wins = window_partition(x, ws)  # (B*nW, N, C)
+        wins = WindowMSA(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            window_size=ws,
+            proj_drop=self.proj_drop,
+            dtype=self.dtype,
+            name="w_msa",
+        )(wins, mask, deterministic)
+        x = window_reverse(wins, ws, hp, wp)
+
+        if shift > 0:
+            x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
+        if pad_b or pad_r:
+            x = x[:, :h, :w, :]
+        return DropPath(self.drop_path_rate)(x, deterministic=deterministic)
+
+
+class Adapter(nn.Module):
+    """Parameter-efficient adapter MLP (reference swin.py:472-502).
+
+    Init matches the reference's ctor + train_mm.py:59-81 weight surgery:
+    D_fc1 kaiming-uniform(a=sqrt5), D_fc2 zeros, biases zeros — so a freshly
+    initialized adapter is an identity (skip) or zero (no-skip) map.
+    """
+
+    mlp_ratio: float = 0.0625
+    skip_connect: bool = True
+    drop: float = 0.1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        d = x.shape[-1]
+        hidden = int(d * self.mlp_ratio)
+        xs = nn.Dense(
+            hidden,
+            kernel_init=kaiming_uniform_init(),
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="D_fc1",
+        )(x)
+        xs = nn.relu(xs)
+        if self.drop > 0.0 and not deterministic:
+            xs = nn.Dropout(self.drop)(xs, deterministic=False)
+        xs = nn.Dense(
+            d,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="D_fc2",
+        )(xs)
+        return x + xs if self.skip_connect else xs
+
+
+class SwinBlockAdapter(nn.Module):
+    """Swin block with per-modality MAPA adapters (reference swin.py:505-610).
+
+    The attention/FFN weights are shared between the RGB and DTE streams;
+    only the adapter branch differs per ``sub_mode``.
+    """
+
+    dim: int
+    num_heads: int
+    ffn_dim: int
+    window_size: int
+    shift: bool = False
+    drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    adapter_ratio: float = 0.0625
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, sub_mode: str, deterministic: bool = True
+    ) -> jax.Array:
+        identity = x
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        h = ShiftWindowMSA(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            window_size=self.window_size,
+            shift_size=self.window_size // 2 if self.shift else 0,
+            drop_path_rate=self.drop_path_rate,
+            proj_drop=self.drop_rate,
+            dtype=self.dtype,
+            name="attn",
+        )(h, deterministic)
+        x = h + identity
+
+        adapter = Adapter(
+            mlp_ratio=self.adapter_ratio,
+            skip_connect=False,
+            dtype=self.dtype,
+            name=f"adapter_{sub_mode}",
+        )
+        adapter_x = 0.5 * adapter(x, deterministic)  # scale (swin.py:577)
+
+        identity = x
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        h = Mlp(
+            hidden_dim=self.ffn_dim,
+            drop_rate=self.drop_rate,
+            drop_path_rate=self.drop_path_rate,
+            add_identity=True,
+            dtype=self.dtype,
+            name="ffn",
+        )(h, identity=identity, deterministic=deterministic)
+        return h + adapter_x
+
+
+class SwinStage(nn.Module):
+    """One Swin stage: blocks + optional patch-merging downsample
+    (reference SwinBlockSequence, swin.py:613-697)."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    ffn_dim: int
+    window_size: int
+    drop_rate: float
+    drop_path_rates: Sequence[float]
+    downsample: bool
+    adapter_ratio: float = 0.0625
+    use_remat: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, sub_mode: str, deterministic: bool = True
+    ) -> Tuple[jax.Array, jax.Array]:
+        block_cls = SwinBlockAdapter
+        if self.use_remat:
+            block_cls = nn.remat(SwinBlockAdapter, static_argnums=(2, 3))
+        for i in range(self.depth):
+            x = block_cls(
+                dim=self.dim,
+                num_heads=self.num_heads,
+                ffn_dim=self.ffn_dim,
+                window_size=self.window_size,
+                shift=i % 2 == 1,
+                drop_rate=self.drop_rate,
+                drop_path_rate=float(self.drop_path_rates[i]),
+                adapter_ratio=self.adapter_ratio,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x, sub_mode, deterministic)
+        out = x
+        if self.downsample:
+            x = PatchMerging(
+                out_dim=2 * self.dim, dtype=self.dtype, name="downsample"
+            )(x)
+        return x, out
+
+
+class MPGBlock(nn.Module):
+    """MAPA cross-modal prompt generation (reference swin.py:1045-1068).
+
+    Down-projects both modalities, fuses, up-projects, then modulates with
+    per-modality learned affine (TFTS) to produce modality prompts.
+    """
+
+    ratio: float = 0.125
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self, x_rgb: jax.Array, x_dte: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        dim = x_rgb.shape[-1]
+        hidden = int(dim * self.ratio)
+        kaiming = kaiming_uniform_init()
+        a = nn.Dense(hidden, kernel_init=kaiming, dtype=self.dtype, name="D_fc1")(
+            x_rgb
+        )
+        b = nn.Dense(hidden, kernel_init=kaiming, dtype=self.dtype, name="D_fc2")(
+            x_dte
+        )
+        x = jnp.concatenate([a, b], axis=-1)
+        x = nn.Dense(
+            hidden, kernel_init=trunc_normal_init(), dtype=self.dtype, name="P_fc2"
+        )(x)
+        x = nn.Dense(
+            dim, kernel_init=trunc_normal_init(), dtype=self.dtype, name="U_fc1"
+        )(x)
+
+        gamma_rgb = self.param(
+            "tfts_gamma_rgb", _normal_around(1.0, 0.02), (dim,)
+        )
+        beta_rgb = self.param("tfts_beta_rgb", _normal_around(0.0, 0.02), (dim,))
+        gamma_dte = self.param(
+            "tfts_gamma_dte", _normal_around(1.0, 0.02), (dim,)
+        )
+        beta_dte = self.param("tfts_beta_dte", _normal_around(0.0, 0.02), (dim,))
+
+        p_rgb = x * gamma_rgb + beta_rgb
+        p_dte = x * gamma_dte + beta_dte
+        return x + p_rgb, x + p_dte
+
+
+def _normal_around(mean: float, std: float):
+    def init(key, shape, dtype=jnp.float32):
+        return mean + std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+class LayerNormGELUOffset(nn.Module):
+    """Offset-prediction head: depthwise conv → LN → GELU → 1x1 conv to 2
+    (reference conv_offset_x/y, swin.py:759-770)."""
+
+    channels: int
+    ksize: int
+    stride: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        pad = self.ksize // 2 if self.ksize != self.stride else 0
+        x = nn.Conv(
+            self.channels,
+            (self.ksize, self.ksize),
+            strides=(self.stride, self.stride),
+            padding=pad,
+            feature_group_count=self.channels,
+            dtype=self.dtype,
+            name="dw",
+        )(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        x = nn.gelu(x)
+        x = nn.Conv(2, (1, 1), use_bias=False, dtype=self.dtype, name="pw")(x)
+        return x  # (B, Hk, Wk, 2) as (dy, dx)
+
+
+class DAttentionMM(nn.Module):
+    """Bi-directional deformable cross-modal attention (DSCF core).
+
+    Reference: DAttentionMM, swin.py:726-1025 (defaults: offset_range_factor
+    -1, use_pe=True, continuous rpe table sampled by grid_sample).  Both
+    modalities predict offset fields; both are sampled at both fields; a
+    q-conditioned softmax weight merges the modalities per sample point; then
+    every pixel attends over the 2*n_sample deformable keys.
+    """
+
+    dim: int  # reduced dims (= stage_dim * dscf_ratio)
+    n_heads: int
+    n_groups: int
+    stride: int
+    ksize: int = 9
+    level: int = 0
+    rpe_size: Tuple[int, int] = (60, 80)  # reference default q_size
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, y: jax.Array, train: bool = False
+    ) -> jax.Array:
+        b, h, w, c = x.shape
+        g = self.n_groups
+        heads = self.n_heads
+        gc = c // g
+        hc = c // heads
+        scale = hc**-0.5
+
+        # fuse_q: conv3x3 + BN + GELU on concat (reference conv_bn_relu)
+        xy = jnp.concatenate([x, y], axis=-1)
+        xy = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, name="fuse_q_conv")(xy)
+        xy = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name="fuse_q_bn",
+        )(xy)
+        xy = nn.gelu(xy)
+        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_q")(xy)
+
+        # offset fields from each modality, per group
+        def group_view(t):  # (B, H, W, C) -> (B*g, H, W, gc)
+            return (
+                t.reshape(b, h, w, g, gc)
+                .transpose(0, 3, 1, 2, 4)
+                .reshape(b * g, h, w, gc)
+            )
+
+        x_off_in = group_view(x)
+        y_off_in = group_view(y)
+        x_offset = LayerNormGELUOffset(
+            gc, self.ksize, self.stride, dtype=self.dtype, name="conv_offset_x"
+        )(x_off_in)
+        y_offset = LayerNormGELUOffset(
+            gc, self.ksize, self.stride, dtype=self.dtype, name="conv_offset_y"
+        )(y_off_in)
+        hk, wk = x_offset.shape[1], x_offset.shape[2]
+        n = hk * wk
+
+        ref = make_ref_grid(hk, wk, b * g, centered=True)  # (B*g,Hk,Wk,2)=(y,x)
+        pos_x = jnp.clip(x_offset.astype(jnp.float32) + ref, -1.0, 1.0)
+        pos_y = jnp.clip(y_offset.astype(jnp.float32) + ref, -1.0, 1.0)
+
+        # sample each of x / y / q at both offset fields (grid wants (x, y))
+        def sample(feat, pos):
+            return grid_sample(
+                group_view(feat), pos[..., ::-1], align_corners=True
+            ).reshape(b, g, n, gc)
+
+        def both(feat):  # -> (B, 2n, C) ordered [field_x block, field_y block]
+            sx = sample(feat, pos_x)
+            sy = sample(feat, pos_y)
+            s = jnp.concatenate([sx, sy], axis=2)  # (B, g, 2n, gc)
+            return s.transpose(0, 2, 1, 3).reshape(b, 2 * n, c)
+
+        x_sampled = both(x)
+        y_sampled = both(y)
+        q_sampled = both(q)
+
+        # q-conditioned modality mixing weight (reference get_sample_weight)
+        wgt = nn.Conv(c, (1, 1), dtype=self.dtype, name="sample_weight_fc1")(
+            q_sampled
+        )
+        wgt = nn.relu(wgt)
+        wgt = nn.Conv(2, (1, 1), dtype=self.dtype, name="sample_weight_fc2")(wgt)
+        wgt = jax.nn.softmax(wgt.astype(jnp.float32), axis=-1)
+        sampled = (
+            wgt[..., 0:1] * x_sampled.astype(jnp.float32)
+            + wgt[..., 1:2] * y_sampled.astype(jnp.float32)
+        ).astype(x_sampled.dtype)
+
+        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_k")(sampled)
+        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_v")(sampled)
+
+        qh = q.reshape(b, h * w, heads, hc).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, 2 * n, heads, hc).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, 2 * n, heads, hc).transpose(0, 2, 1, 3)
+        attn = (
+            jnp.einsum("bhmd,bhnd->bhmn", qh, kh, preferred_element_type=jnp.float32)
+            * scale
+        )
+
+        # continuous relative position bias sampled from a fixed-size table
+        rh, rw = self.rpe_size
+        rpe_table = self.param(
+            "rpe_table",
+            trunc_normal_init(0.01),
+            (heads, 2 * rh - 1, 2 * rw - 1),
+        )
+        hg = heads // g  # heads per group
+        q_grid = make_ref_grid(h, w, 1, centered=False)[0].reshape(h * w, 2)
+
+        def rpe_bias(pos):  # pos: (B*g, Hk, Wk, 2)
+            disp = (
+                q_grid[None, :, None, :] - pos.reshape(b * g, 1, n, 2)
+            ) * 0.5  # (B*g, HW, n, 2) in (dy, dx)
+            table = (
+                rpe_table.reshape(g, hg, 2 * rh - 1, 2 * rw - 1)
+                .transpose(0, 2, 3, 1)  # (g, H', W', hg)
+            )
+            table = jnp.broadcast_to(
+                table[None], (b, g, 2 * rh - 1, 2 * rw - 1, hg)
+            ).reshape(b * g, 2 * rh - 1, 2 * rw - 1, hg)
+            bias = grid_sample(table, disp[..., ::-1], align_corners=True)
+            return bias  # (B*g, HW, n, hg)
+
+        bias_x = rpe_bias(pos_x)
+        bias_y = rpe_bias(pos_y)
+        bias = jnp.concatenate([bias_x, bias_y], axis=2)  # (B*g, HW, 2n, hg)
+        bias = (
+            bias.reshape(b, g, h * w, 2 * n, hg)
+            .transpose(0, 1, 4, 2, 3)
+            .reshape(b, heads, h * w, 2 * n)
+        )
+        attn = attn + bias.astype(attn.dtype)
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum(
+            "bhmn,bhnd->bhmd",
+            attn.astype(vh.dtype),
+            vh,
+            preferred_element_type=jnp.float32,
+        ).astype(vh.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
+        out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)
+
+        level_weight = (1e-3, 1e-3, 1e-3, 1.0)[self.level]
+        deform_w = self.param(
+            "deform_weight",
+            lambda key, shape: jnp.full(shape, level_weight, jnp.float32),
+            (c,),
+        )
+        identity_w = self.param(
+            "identity_weight", nn.initializers.ones, (c,)
+        )
+        return deform_w * out + identity_w * xy
+
+
+class DeformMPGBlock(nn.Module):
+    """DSCF fusion wrapper: down-project both streams, deformable cross-modal
+    attention, up-project (reference swin.py:1071-1091)."""
+
+    dim: int
+    stride: int
+    n_groups: int
+    n_heads: int
+    level: int
+    ratio: float = 0.125
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self, x_rgb: jax.Array, x_dte: jax.Array, train: bool = False
+    ) -> jax.Array:
+        hidden = int(self.dim * self.ratio)
+        kaiming = kaiming_uniform_init()
+        a = nn.Dense(hidden, kernel_init=kaiming, dtype=self.dtype, name="D_fc1")(
+            x_rgb
+        )
+        bb = nn.Dense(hidden, kernel_init=kaiming, dtype=self.dtype, name="D_fc2")(
+            x_dte
+        )
+        fused = DAttentionMM(
+            dim=hidden,
+            n_heads=self.n_heads,
+            n_groups=self.n_groups,
+            stride=self.stride,
+            level=self.level,
+            dtype=self.dtype,
+            name="deform_atten",
+        )(a, bb, train)
+        return nn.Dense(
+            self.dim, kernel_init=trunc_normal_init(), dtype=self.dtype, name="U_fc1"
+        )(fused)
+
+
+def apply_modality_mask(
+    rgb: jax.Array, dte: jax.Array, key: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """MMST modality dropout (reference apply_mask, swin.py:1094-1105).
+
+    Picks two distinct random samples in the batch; zeroes the RGB stream of
+    the first and the DTE stream of the second.  Same distribution as the
+    reference's random.sample, but expressed with an explicit JAX key so the
+    step stays pure/jittable.
+    """
+    b = rgb.shape[0]
+    perm = jax.random.permutation(key, b)
+    rgb_mask = (jnp.arange(b) != perm[0]).astype(rgb.dtype)
+    dte_mask = (jnp.arange(b) != perm[1 % b]).astype(dte.dtype)
+    shape = (b,) + (1,) * (rgb.ndim - 1)
+    return rgb * rgb_mask.reshape(shape), dte * dte_mask.reshape(shape)
+
+
+class SwinTransformer(nn.Module):
+    """Dual-stream Swin backbone (reference SwinTransformer, swin.py:1111-1479).
+
+    Returns three 4-scale NHWC pyramids: (fused, rgb, dte).
+
+    Defaults = Swin-B @384 (embed 128, depths (2,2,18,2), heads (4,8,16,32),
+    window 12; reference swin.py:1163-1190).  Swin-L: embed_dim=192,
+    num_heads=(6,12,24,48).
+    """
+
+    embed_dim: int = 128
+    depths: Sequence[int] = (2, 2, 18, 2)
+    num_heads: Sequence[int] = (4, 8, 16, 32)
+    window_size: int = 12
+    patch_size: int = 4
+    mlp_ratio: float = 4.0
+    drop_rate: float = 0.0
+    drop_path_rate: float = 0.3
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    mapa_ratio: float = 0.125
+    adapter_ratio: float = 0.0625
+    dscf_ratio: float = 0.125
+    use_remat: bool = False
+    mmst_mask: bool = True
+    dtype: Optional[Dtype] = None
+
+    # DSCF per-level config (reference swin.py:1263-1265)
+    dscf_strides: Sequence[int] = (8, 4, 2, 1)
+    dscf_groups: Sequence[int] = (1, 2, 4, 8)
+    dscf_heads: Sequence[int] = (2, 4, 8, 16)
+
+    @nn.compact
+    def __call__(
+        self,
+        x_rgb: jax.Array,
+        x_dte: jax.Array,
+        train: bool = False,
+    ) -> Tuple[List[jax.Array], List[jax.Array], List[jax.Array]]:
+        num_layers = len(self.depths)
+        dims = [self.embed_dim * (2**i) for i in range(num_layers)]
+        total_depth = sum(self.depths)
+        dpr = np.linspace(0.0, self.drop_path_rate, total_depth)
+
+        x_rgb = PatchEmbed(
+            self.embed_dim, self.patch_size, dtype=self.dtype, name="patch_embed"
+        )(x_rgb)
+        x_dte = PatchEmbed(
+            self.embed_dim,
+            self.patch_size,
+            dtype=self.dtype,
+            name="extra_patch_embed",
+        )(x_dte)
+
+        if train and self.mmst_mask:
+            x_rgb, x_dte = apply_modality_mask(
+                x_rgb, x_dte, self.make_rng("mmst")
+            )
+
+        outs, outs_rgb, outs_dte = [], [], []
+        for i in range(num_layers):
+            prompt_rgb, prompt_dte = MPGBlock(
+                ratio=self.mapa_ratio, dtype=self.dtype, name=f"mpg_{i}"
+            )(x_rgb, x_dte)
+            x_rgb = x_rgb + prompt_rgb
+            x_dte = x_dte + prompt_dte
+
+            stage = SwinStage(
+                dim=dims[i],
+                depth=self.depths[i],
+                num_heads=self.num_heads[i],
+                ffn_dim=int(self.mlp_ratio * dims[i]),
+                window_size=self.window_size,
+                drop_rate=self.drop_rate,
+                drop_path_rates=tuple(
+                    dpr[sum(self.depths[:i]) : sum(self.depths[: i + 1])]
+                ),
+                downsample=i < num_layers - 1,
+                adapter_ratio=self.adapter_ratio,
+                use_remat=self.use_remat,
+                dtype=self.dtype,
+                name=f"stages_{i}",
+            )
+            x_rgb, rgb_out = stage(x_rgb, "rgb", not train)
+            x_dte, dte_out = stage(x_dte, "dte", not train)
+
+            if i in self.out_indices:
+                rgb_out = nn.LayerNorm(
+                    epsilon=1e-5, dtype=self.dtype, name=f"norm{i}"
+                )(rgb_out)
+                dte_out = nn.LayerNorm(
+                    epsilon=1e-5, dtype=self.dtype, name=f"extra_norm{i}"
+                )(dte_out)
+                fused = DeformMPGBlock(
+                    dim=dims[i],
+                    stride=self.dscf_strides[i],
+                    n_groups=self.dscf_groups[i],
+                    n_heads=self.dscf_heads[i],
+                    level=i,
+                    ratio=self.dscf_ratio,
+                    dtype=self.dtype,
+                    name=f"deform_mpg_{i}",
+                )(rgb_out, dte_out, train)
+                fused = nn.LayerNorm(
+                    epsilon=1e-5, dtype=self.dtype, name=f"fuse_norm{i}"
+                )(fused)
+                outs.append(fused)
+                outs_rgb.append(rgb_out)
+                outs_dte.append(dte_out)
+
+        return outs, outs_rgb, outs_dte
+
+
+def swin_b(**kw) -> SwinTransformer:
+    return SwinTransformer(**kw)
+
+
+def swin_l(**kw) -> SwinTransformer:
+    kw.setdefault("embed_dim", 192)
+    kw.setdefault("num_heads", (6, 12, 24, 48))
+    kw.setdefault("use_remat", True)
+    return SwinTransformer(**kw)

@@ -1,0 +1,64 @@
+"""CMNeXt — the IR-ADS segmentation model: dual-stream Swin backbone + three
+SegFormer decode heads (fused / rgb-only / dte-only).
+
+Reference: semseg/models/cmnext.py:11-33 — the fused head uses embed_dim 512,
+the two auxiliary modality heads 256; all three logits are bilinearly
+upsampled to the input resolution.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+from flax import linen as nn
+
+from ir_ads_tpu.models.backbones.swin import SwinTransformer, swin_b, swin_l
+from ir_ads_tpu.models.heads.segformer import SegFormerHead
+from ir_ads_tpu.ops.layers import resize_bilinear
+
+BACKBONES = {
+    "SwinTransformer-B": swin_b,
+    "SwinTransformer-L": swin_l,
+}
+
+
+class CMNeXt(nn.Module):
+    backbone: str = "SwinTransformer-B"
+    num_classes: int = 40
+    use_remat: bool = False
+    mmst_mask: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x_rgb: jax.Array,  # (B, H, W, 3)
+        x_dte: jax.Array,  # (B, H, W, 3)
+        train: bool = False,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        if self.backbone not in BACKBONES:
+            raise ValueError(f"Unknown backbone {self.backbone!r}")
+        bb = BACKBONES[self.backbone](
+            dtype=self.dtype,
+            use_remat=self.use_remat or self.backbone.endswith("-L"),
+            mmst_mask=self.mmst_mask,
+            name="backbone",
+        )
+        feats, feats_rgb, feats_dte = bb(x_rgb, x_dte, train)
+
+        size = (x_rgb.shape[1], x_rgb.shape[2])
+        y = SegFormerHead(
+            512, self.num_classes, dtype=self.dtype, name="decode_head"
+        )(feats, train)
+        y_rgb = SegFormerHead(
+            256, self.num_classes, dtype=self.dtype, name="decode_head_rgb"
+        )(feats_rgb, train)
+        y_dte = SegFormerHead(
+            256, self.num_classes, dtype=self.dtype, name="decode_head_dte"
+        )(feats_dte, train)
+
+        y = resize_bilinear(y, size, align_corners=False)
+        y_rgb = resize_bilinear(y_rgb, size, align_corners=False)
+        y_dte = resize_bilinear(y_dte, size, align_corners=False)
+        return y, y_rgb, y_dte

@@ -1,0 +1,98 @@
+"""Bilinear grid sampling — the deformable-attention primitive.
+
+One primitive serves both of the reference's native sampling paths:
+  * DAttentionMM's six F.grid_sample calls (semseg/models/backbones/swin.py:911-1007)
+  * MSDeformAttn's CUDA im2col kernel (detrex/layers/csrc/MsDeformAttn/)
+
+Implemented as XLA gathers; differentiable (JAX autodiff through gather /
+scatter-add gives the same gradients as the reference's hand-written CUDA
+backward).  Shapes are static, so everything fuses under jit.
+
+Layout is NHWC (TPU-native) — channels last keeps the gathered vectors
+contiguous on the lane dimension.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def grid_sample(
+    img: jax.Array,
+    grid: jax.Array,
+    align_corners: bool = True,
+    padding_zero: bool = True,
+) -> jax.Array:
+    """Bilinear sample ``img`` at normalized locations ``grid``.
+
+    Matches torch.nn.functional.grid_sample(mode='bilinear',
+    padding_mode='zeros') semantics.
+
+    Args:
+      img: (B, H, W, C) input feature map.
+      grid: (B, Hg, Wg, 2) sampling locations in [-1, 1], last dim = (x, y)
+        (torch convention: grid[..., 0] indexes width).
+      align_corners: if True, -1/+1 refer to the centers of the corner
+        pixels; else to the corners of the image.
+      padding_zero: zero contribution from out-of-bounds corners.
+
+    Returns:
+      (B, Hg, Wg, C) sampled values, in ``img.dtype``.
+    """
+    b, h, w, c = img.shape
+    gx = grid[..., 0].astype(jnp.float32)
+    gy = grid[..., 1].astype(jnp.float32)
+
+    if align_corners:
+        ix = (gx + 1.0) * 0.5 * (w - 1)
+        iy = (gy + 1.0) * 0.5 * (h - 1)
+    else:
+        ix = ((gx + 1.0) * w - 1.0) * 0.5
+        iy = ((gy + 1.0) * h - 1.0) * 0.5
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    fx = ix - x0
+    fy = iy - y0
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def corner(xi, yi, wgt):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xc = jnp.clip(xi, 0, w - 1)
+        yc = jnp.clip(yi, 0, h - 1)
+        flat = (yc * w + xc).reshape(b, -1)  # (B, Hg*Wg)
+        vals = jnp.take_along_axis(
+            img.reshape(b, h * w, c), flat[..., None], axis=1
+        ).reshape(*xi.shape, c)
+        if padding_zero:
+            wgt = jnp.where(valid, wgt, 0.0)
+        return vals.astype(jnp.float32) * wgt[..., None]
+
+    out = (
+        corner(x0i, y0i, (1 - fx) * (1 - fy))
+        + corner(x0i + 1, y0i, fx * (1 - fy))
+        + corner(x0i, y0i + 1, (1 - fx) * fy)
+        + corner(x0i + 1, y0i + 1, fx * fy)
+    )
+    return out.astype(img.dtype)
+
+
+def make_ref_grid(h: int, w: int, batch: int, centered: bool = True) -> jax.Array:
+    """Reference grid of normalized (y, x) coordinates, (B, H, W, 2).
+
+    ``centered=True`` matches DAttentionMM._get_ref_points (swin.py:842-854):
+    linspace(0.5, n-0.5) normalized by (n-1) into roughly [-1, 1].
+    ``centered=False`` matches _get_q_grid (arange 0..n-1).
+    """
+    if centered:
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / (h - 1.0) * 2.0 - 1.0
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / (w - 1.0) * 2.0 - 1.0
+    else:
+        ys = jnp.arange(h, dtype=jnp.float32) / (h - 1.0) * 2.0 - 1.0
+        xs = jnp.arange(w, dtype=jnp.float32) / (w - 1.0) * 2.0 - 1.0
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    ref = jnp.stack([gy, gx], axis=-1)  # (H, W, 2) as (y, x)
+    return jnp.broadcast_to(ref[None], (batch, h, w, 2))

@@ -1,0 +1,296 @@
+"""Core layer utilities shared by every model in the framework.
+
+TPU-native replacements for the reference's mmcv/mmengine/timm helper zoo
+(reference: semseg/models/backbones/swin.py:10-19 imports FFN, build_dropout,
+trunc_normal_, DropPath...).  Everything here is a pure function or a small
+flax.linen module with static shapes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = jnp.dtype
+
+
+def trunc_normal_init(std: float = 0.02) -> Callable:
+    """Truncated-normal initializer (±2σ), matching mmengine trunc_normal_."""
+    return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+
+
+def kaiming_uniform_init(a: float = math.sqrt(5)) -> Callable:
+    """Kaiming-uniform init matching torch.nn.init.kaiming_uniform_(a=sqrt(5)).
+
+    Used by the reference's weight surgery for Adapter/MPG ``D_fc1``
+    (train_mm.py:63-70).  torch computes bound = sqrt(6 / ((1 + a^2) * fan_in)).
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        # flax Dense kernels are (fan_in, fan_out)
+        fan_in = shape[0]
+        gain = math.sqrt(2.0 / (1.0 + a * a))
+        bound = gain * math.sqrt(3.0 / fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def drop_path(
+    x: jax.Array,
+    rate: float,
+    deterministic: bool,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Stochastic depth on the leading (batch) axis."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath equivalent)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        if deterministic or self.rate == 0.0:
+            return x
+        return drop_path(x, self.rate, False, self.make_rng("dropout"))
+
+
+class Mlp(nn.Module):
+    """Two-layer MLP aka the mmcv FFN (reference swin.py:347-355).
+
+    With ``add_identity`` the residual uses DropPath on the branch, matching
+    FFN(add_identity=True, dropout_layer=DropPath).
+    """
+
+    hidden_dim: int
+    out_dim: Optional[int] = None
+    act: Callable = nn.gelu
+    drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    add_identity: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        identity: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        out_dim = self.out_dim or x.shape[-1]
+        h = nn.Dense(
+            self.hidden_dim, dtype=self.dtype, kernel_init=trunc_normal_init()
+        )(x)
+        h = self.act(h)
+        if self.drop_rate > 0.0 and not deterministic:
+            h = nn.Dropout(self.drop_rate)(h, deterministic=False)
+        h = nn.Dense(out_dim, dtype=self.dtype, kernel_init=trunc_normal_init())(h)
+        if self.drop_rate > 0.0 and not deterministic:
+            h = nn.Dropout(self.drop_rate)(h, deterministic=False)
+        if not self.add_identity:
+            return h
+        if identity is None:
+            identity = x
+        h = DropPath(self.drop_path_rate)(h, deterministic=deterministic)
+        return identity + h
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the channel (last) axis; fp32 statistics for bf16 inputs."""
+
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.LayerNorm(epsilon=self.epsilon, dtype=self.dtype)(x)
+
+
+class ConvBN(nn.Module):
+    """Conv + BatchNorm + activation (reference conv_bn_relu, swin.py:713-723,
+    and SegFormerHead's ConvModule, heads/segformer.py:18-26).
+
+    BatchNorm stats sync across the ``data`` mesh axis when ``axis_name`` is
+    set (TPU equivalent of SyncBN).
+    """
+
+    features: int
+    kernel_size: int = 3
+    act: Optional[Callable] = nn.gelu
+    use_bias: bool = True
+    axis_name: Optional[str] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        pad = self.kernel_size // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            padding=pad,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            axis_name=self.axis_name if train else None,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+        )(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+def adaptive_pad(
+    x: jax.Array,
+    kernel_size: Sequence[int],
+    stride: Sequence[int],
+    mode: str = "corner",
+    value: float = 0.0,
+) -> jax.Array:
+    """Pad NHWC input so the spatial dims are fully covered by the filter.
+
+    TPU-native equivalent of the reference's AdaptivePadding
+    (semseg/models/backbones/embed.py:12-80): "corner" pads bottom-right,
+    "same" pads symmetrically.  Pad amounts are static under jit.
+    """
+    h, w = x.shape[1], x.shape[2]
+    kh, kw = kernel_size
+    sh, sw = stride
+    out_h = -(-h // sh)
+    out_w = -(-w // sw)
+    pad_h = max((out_h - 1) * sh + kh - h, 0)
+    pad_w = max((out_w - 1) * sw + kw - w, 0)
+    if pad_h == 0 and pad_w == 0:
+        return x
+    if mode == "corner":
+        cfg = ((0, 0), (0, pad_h), (0, pad_w), (0, 0))
+    else:  # same
+        cfg = (
+            (0, 0),
+            (pad_h // 2, pad_h - pad_h // 2),
+            (pad_w // 2, pad_w - pad_w // 2),
+            (0, 0),
+        )
+    return jnp.pad(x, cfg, constant_values=value)
+
+
+class PatchEmbed(nn.Module):
+    """Conv patch embedding with corner adaptive padding.
+
+    Reference: semseg/models/backbones/embed.py:83-204.  Input NHWC, output
+    (B, H', W', embed_dim) — we keep the spatial grid instead of flattening
+    to (B, L, C): XLA prefers the 2-D layout and reshapes are free.
+    """
+
+    embed_dim: int
+    patch_size: int = 4
+    use_norm: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        p = self.patch_size
+        x = adaptive_pad(x, (p, p), (p, p), "corner")
+        x = nn.Conv(
+            self.embed_dim,
+            (p, p),
+            strides=(p, p),
+            padding="VALID",
+            dtype=self.dtype,
+        )(x)
+        if self.use_norm:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        return x
+
+
+class PatchMerging(nn.Module):
+    """2x2 patch merging: norm(concat 2x2 neighborhood) -> linear reduction.
+
+    Replaces the reference's nn.Unfold implementation
+    (semseg/models/backbones/embed.py:207-330) with reshapes, but keeps the
+    *torch-unfold channel order* (index = c*4 + (ky*2+kx)) so pretrained
+    checkpoints import bit-exact.
+    """
+
+    out_dim: int
+    use_norm: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        x = adaptive_pad(x, (2, 2), (2, 2), "corner")
+        hp, wp = x.shape[1], x.shape[2]
+        # (B, H/2, 2, W/2, 2, C) -> (B, H/2, W/2, C, 2, 2): channel-major order
+        x = x.reshape(b, hp // 2, 2, wp // 2, 2, c)
+        x = x.transpose(0, 1, 3, 5, 2, 4).reshape(b, hp // 2, wp // 2, c * 4)
+        if self.use_norm:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        x = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype)(x)
+        return x
+
+
+def resize_bilinear(
+    x: jax.Array, size: Sequence[int], align_corners: bool = False
+) -> jax.Array:
+    """Bilinear resize of NHWC tensors matching torch F.interpolate semantics.
+
+    jax.image.resize implements the align_corners=False convention; the
+    align_corners=True path (used by val_mm.py MSF eval and DAttentionMM) is
+    a plain gather-free linear map we build explicitly.
+    """
+    b, h, w, c = x.shape
+    nh, nw = int(size[0]), int(size[1])
+    if (nh, nw) == (h, w):
+        return x
+    if not align_corners:
+        return jax.image.resize(x, (b, nh, nw, c), method="bilinear")
+    return _resize_align_corners(x, nh, nw)
+
+
+def _axis_weights(n_in: int, n_out: int) -> np.ndarray:
+    """Dense (n_in, n_out) interpolation matrix for align_corners=True."""
+    if n_in == 1 or n_out == 1:
+        pos = np.zeros(n_out)
+    else:
+        pos = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, n_in - 1)
+    hi = np.clip(lo + 1, 0, n_in - 1)
+    frac = pos - lo
+    mat = np.zeros((n_in, n_out), dtype=np.float32)
+    mat[lo, np.arange(n_out)] += 1.0 - frac
+    mat[hi, np.arange(n_out)] += frac
+    return mat
+
+
+def _resize_align_corners(x: jax.Array, nh: int, nw: int) -> jax.Array:
+    """align_corners=True bilinear resize expressed as two small matmuls.
+
+    Interpolation weights depend only on static shapes, so we bake them as
+    constants and let the MXU do the resampling — far faster on TPU than a
+    gather-based implementation.
+    """
+    h, w = x.shape[1], x.shape[2]
+    wy = jnp.asarray(_axis_weights(h, nh), dtype=jnp.float32)
+    wx = jnp.asarray(_axis_weights(w, nw), dtype=jnp.float32)
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    xf = jnp.einsum("bhwc,hH->bHwc", xf, wy)
+    xf = jnp.einsum("bHwc,wW->bHWc", xf, wx)
+    return xf.astype(orig_dtype)

@@ -1,0 +1,22 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; instead we force the JAX CPU
+backend with 8 virtual devices so that every sharding / collective code path
+(jax.sharding.Mesh + pjit) is exercised exactly as it would be on a TPU pod
+slice.  This mirrors the reference's single-process world_size==1 testing
+strategy (see SURVEY.md §4) but actually runs the multi-device code.
+"""
+
+import os
+
+# Force-override: the environment may pin JAX_PLATFORMS to a TPU plugin.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
