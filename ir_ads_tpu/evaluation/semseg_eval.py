@@ -1,0 +1,202 @@
+"""Segmentation evaluation: single-scale, multi-scale+flip (MSF), and tiled
+sliding-window inference (reference val_mm.py:30-120).
+
+This is the headline-benchmark path (BASELINE.md: Swin-B RGB-D
+sliding-window frames/sec/chip), so it is designed compiler-first:
+
+  * The reference loops over tiles/scales in python, one CUDA launch chain
+    per tile (val_mm.py:44-62).  Here every tile of an image is extracted
+    into one batch and run through ONE jitted forward; the overlap-add and
+    count normalization happen on device in the same program.
+  * Multi-scale resizing uses the matmul-based align_corners resize
+    (ir_ads_tpu/ops/layers.py) — MXU work instead of gathers.
+  * Softmax accumulation stays on device; only the final argmax leaves.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ir_ads_tpu.ops.layers import resize_bilinear
+
+
+def make_forward_fn(model, variables) -> Callable:
+    """Jitted eval forward: (rgb, dte) -> fused-head logits (B, H, W, C)."""
+
+    @jax.jit
+    def forward(rgb, dte):
+        y, _, _ = model.apply(variables, rgb, dte, train=False)
+        return y
+
+    return forward
+
+
+def align32(v: float) -> int:
+    return int(math.ceil(v / 32.0)) * 32
+
+
+def msf_logits(
+    forward: Callable,
+    rgb: jax.Array,
+    dte: jax.Array,
+    scales: Sequence[float] = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75),
+    flip: bool = True,
+) -> jax.Array:
+    """Multi-scale + flip ensembled class probabilities (val_mm.py:87-113).
+
+    Per-scale shapes are static, so each scale compiles once; the flip pass
+    reuses the same executable (flip is part of the jitted program).
+    """
+    b, h, w, _ = rgb.shape
+
+    @functools.lru_cache(maxsize=None)
+    def scale_step(nh: int, nw: int):
+        @jax.jit
+        def step(rgb, dte, acc):
+            srgb = resize_bilinear(rgb, (nh, nw), align_corners=True)
+            sdte = resize_bilinear(dte, (nh, nw), align_corners=True)
+            logits = forward(srgb, sdte)
+            logits = resize_bilinear(logits, (h, w), align_corners=True)
+            acc = acc + jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            if flip:
+                logits_f = forward(srgb[:, :, ::-1], sdte[:, :, ::-1])[:, :, ::-1]
+                logits_f = resize_bilinear(logits_f, (h, w), align_corners=True)
+                acc = acc + jax.nn.softmax(logits_f.astype(jnp.float32), axis=-1)
+            return acc
+
+        return step
+
+    acc = None
+    for s in scales:
+        nh, nw = align32(s * h), align32(s * w)
+        step = scale_step(nh, nw)
+        if acc is None:
+            nc_probe = jax.eval_shape(forward, rgb, dte).shape[-1]
+            acc = jnp.zeros((b, h, w, nc_probe), jnp.float32)
+        acc = step(rgb, dte, acc)
+    return acc
+
+
+def _tile_grid(size: int, tile: int, stride: int) -> List[int]:
+    """Static tile start offsets covering [0, size) (last tile right-aligned)."""
+    if size <= tile:
+        return [0]
+    n = int(math.ceil((size - tile) / stride)) + 1
+    starts = [min(i * stride, size - tile) for i in range(n)]
+    return sorted(set(starts))
+
+
+def make_sliding_window_fn(
+    forward: Callable,
+    image_size: Tuple[int, int],
+    tile_size: Tuple[int, int],
+    num_classes: int,
+    overlap: float = 1.0 / 3.0,
+    flip: bool = True,
+    tile_batch: Optional[int] = None,
+) -> Callable:
+    """Build a fully-jitted sliding-window predictor.
+
+    All tiles are gathered into a (T*B, th, tw, C) batch, run through the
+    model in chunks of ``tile_batch`` tiles, and overlap-added back — one XLA
+    program, zero host round-trips per tile (contrast val_mm.py:44-62).
+
+    Returns fn(rgb, dte) -> (B, H, W, num_classes) accumulated logits.
+    """
+    h, w = image_size
+    th, tw = tile_size
+    stride_h = int(math.ceil(th * (1 - overlap)))
+    stride_w = int(math.ceil(tw * (1 - overlap)))
+    ys = _tile_grid(h, th, stride_h)
+    xs = _tile_grid(w, tw, stride_w)
+    offsets = [(y, x) for y in ys for x in xs]
+    n_tiles = len(offsets)
+    chunk = tile_batch or n_tiles
+
+    @jax.jit
+    def predict(rgb: jax.Array, dte: jax.Array) -> jax.Array:
+        b = rgb.shape[0]
+        pad_h, pad_w = max(0, th - h), max(0, tw - w)
+        if pad_h or pad_w:
+            cfg = ((0, 0), (0, pad_h), (0, pad_w), (0, 0))
+            rgb_p = jnp.pad(rgb, cfg)
+            dte_p = jnp.pad(dte, cfg)
+        else:
+            rgb_p, dte_p = rgb, dte
+
+        tiles_rgb = jnp.stack(
+            [rgb_p[:, y : y + th, x : x + tw] for (y, x) in offsets], 0
+        ).reshape(n_tiles * b, th, tw, rgb.shape[-1])
+        tiles_dte = jnp.stack(
+            [dte_p[:, y : y + th, x : x + tw] for (y, x) in offsets], 0
+        ).reshape(n_tiles * b, th, tw, dte.shape[-1])
+
+        def run(tr, td):
+            out = forward(tr, td)
+            if flip:
+                out = out + forward(tr[:, :, ::-1], td[:, :, ::-1])[:, :, ::-1]
+            return out
+
+        if chunk >= n_tiles * b:
+            logits = run(tiles_rgb, tiles_dte)
+        else:
+            n_chunks = -(-(n_tiles * b) // chunk)
+            pad_to = n_chunks * chunk
+            tiles_rgb = jnp.pad(
+                tiles_rgb, ((0, pad_to - n_tiles * b), (0, 0), (0, 0), (0, 0))
+            )
+            tiles_dte = jnp.pad(
+                tiles_dte, ((0, pad_to - n_tiles * b), (0, 0), (0, 0), (0, 0))
+            )
+            tr = tiles_rgb.reshape(n_chunks, chunk, th, tw, rgb.shape[-1])
+            td = tiles_dte.reshape(n_chunks, chunk, th, tw, dte.shape[-1])
+            logits = jax.lax.map(lambda ab: run(ab[0], ab[1]), (tr, td))
+            logits = logits.reshape(pad_to, th, tw, num_classes)[: n_tiles * b]
+
+        logits = logits.reshape(n_tiles, b, th, tw, num_classes).astype(
+            jnp.float32
+        )
+        total = jnp.zeros((b, h + pad_h, w + pad_w, num_classes), jnp.float32)
+        count = jnp.zeros((h + pad_h, w + pad_w, 1), jnp.float32)
+        for i, (y, x) in enumerate(offsets):
+            total = jax.lax.dynamic_update_slice(
+                total,
+                jax.lax.dynamic_slice(
+                    total, (0, y, x, 0), (b, th, tw, num_classes)
+                )
+                + logits[i],
+                (0, y, x, 0),
+            )
+            count = jax.lax.dynamic_update_slice(
+                count,
+                jax.lax.dynamic_slice(count, (y, x, 0), (th, tw, 1)) + 1.0,
+                (y, x, 0),
+            )
+        total = total / count[None]
+        return total[:, :h, :w]
+
+    return predict
+
+
+def evaluate(
+    forward: Callable,
+    batches,
+    metrics,
+    msf: bool = False,
+    scales: Sequence[float] = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75),
+    flip: bool = True,
+):
+    """Run evaluation over an iterable of (rgb, dte, label) batches."""
+    for rgb, dte, label in batches:
+        if msf:
+            probs = msf_logits(forward, rgb, dte, scales, flip)
+        else:
+            probs = jax.nn.softmax(forward(rgb, dte).astype(jnp.float32), -1)
+        metrics.update(jnp.argmax(probs, -1), label)
+    return metrics

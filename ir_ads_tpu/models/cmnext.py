@@ -29,6 +29,9 @@ class CMNeXt(nn.Module):
     use_remat: bool = False
     mmst_mask: bool = True
     dtype: Optional[Any] = None
+    # overrides for the backbone (tests / ablations), e.g. tiny dims
+    backbone_kwargs: Optional[Any] = None
+    head_dims: Tuple[int, int] = (512, 256)  # fused, aux (reference cmnext.py:20-22)
 
     @nn.compact
     def __call__(
@@ -39,23 +42,26 @@ class CMNeXt(nn.Module):
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         if self.backbone not in BACKBONES:
             raise ValueError(f"Unknown backbone {self.backbone!r}")
+        kwargs = dict(self.backbone_kwargs or {})
         bb = BACKBONES[self.backbone](
             dtype=self.dtype,
             use_remat=self.use_remat or self.backbone.endswith("-L"),
             mmst_mask=self.mmst_mask,
             name="backbone",
+            **kwargs,
         )
         feats, feats_rgb, feats_dte = bb(x_rgb, x_dte, train)
 
         size = (x_rgb.shape[1], x_rgb.shape[2])
+        fused_dim, aux_dim = self.head_dims
         y = SegFormerHead(
-            512, self.num_classes, dtype=self.dtype, name="decode_head"
+            fused_dim, self.num_classes, dtype=self.dtype, name="decode_head"
         )(feats, train)
         y_rgb = SegFormerHead(
-            256, self.num_classes, dtype=self.dtype, name="decode_head_rgb"
+            aux_dim, self.num_classes, dtype=self.dtype, name="decode_head_rgb"
         )(feats_rgb, train)
         y_dte = SegFormerHead(
-            256, self.num_classes, dtype=self.dtype, name="decode_head_dte"
+            aux_dim, self.num_classes, dtype=self.dtype, name="decode_head_dte"
         )(feats_dte, train)
 
         y = resize_bilinear(y, size, align_corners=False)

@@ -87,12 +87,15 @@ def make_ref_grid(h: int, w: int, batch: int, centered: bool = True) -> jax.Arra
     linspace(0.5, n-0.5) normalized by (n-1) into roughly [-1, 1].
     ``centered=False`` matches _get_q_grid (arange 0..n-1).
     """
+    # guard the degenerate 1-wide grid (reference divides by zero there)
+    hd = float(max(h - 1, 1))
+    wd = float(max(w - 1, 1))
     if centered:
-        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / (h - 1.0) * 2.0 - 1.0
-        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / (w - 1.0) * 2.0 - 1.0
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / hd * 2.0 - 1.0
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / wd * 2.0 - 1.0
     else:
-        ys = jnp.arange(h, dtype=jnp.float32) / (h - 1.0) * 2.0 - 1.0
-        xs = jnp.arange(w, dtype=jnp.float32) / (w - 1.0) * 2.0 - 1.0
+        ys = jnp.arange(h, dtype=jnp.float32) / hd * 2.0 - 1.0
+        xs = jnp.arange(w, dtype=jnp.float32) / wd * 2.0 - 1.0
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
     ref = jnp.stack([gy, gx], axis=-1)  # (H, W, 2) as (y, x)
     return jnp.broadcast_to(ref[None], (batch, h, w, 2))
