@@ -213,9 +213,10 @@ class PatchEmbed(nn.Module):
             strides=(p, p),
             padding="VALID",
             dtype=self.dtype,
+            name="proj",
         )(x)
         if self.use_norm:
-            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x
 
 
@@ -241,8 +242,10 @@ class PatchMerging(nn.Module):
         x = x.reshape(b, hp // 2, 2, wp // 2, 2, c)
         x = x.transpose(0, 1, 3, 5, 2, 4).reshape(b, hp // 2, wp // 2, c * 4)
         if self.use_norm:
-            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
-        x = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype)(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(
+            self.out_dim, use_bias=False, dtype=self.dtype, name="reduction"
+        )(x)
         return x
 
 

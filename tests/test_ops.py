@@ -127,7 +127,7 @@ def test_patch_merging_matches_torch_unfold_order():
     ours = pm.apply(params, jnp.asarray(x))
 
     # torch reference: unfold then linear with the same kernel
-    kernel = np.asarray(params["params"]["Dense_0"]["kernel"])  # (24, 12)
+    kernel = np.asarray(params["params"]["reduction"]["kernel"])  # (24, 12)
     xt = torch.from_numpy(x).permute(0, 3, 1, 2)
     unfolded = torch.nn.Unfold(kernel_size=2, stride=2)(xt)  # (B, 4C, L)
     ref = unfolded.transpose(1, 2) @ torch.from_numpy(kernel)
