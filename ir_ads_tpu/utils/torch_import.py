@@ -1,0 +1,320 @@
+"""PyTorch-checkpoint importer: reference IR-ADS state_dict -> our pytree.
+
+Maps the reference CMNeXt state_dict names (semseg/models/cmnext.py +
+backbones/swin.py module tree) onto this framework's flax variables, with
+the layout transposes torch->flax requires:
+
+  Linear weight (out, in)        -> Dense kernel (in, out)
+  Conv2d weight (O, I, kh, kw)   -> Conv kernel (kh, kw, I, O)
+  LayerNorm/BN weight/bias       -> scale/bias
+  BN running_mean/var            -> batch_stats mean/var
+
+Also handles the raw upstream Swin pretrained checkpoints
+(swin_*_patch4_window12_384_22k, mmseg naming) including the reference's
+weight surgery (train_mm.py:59-81): RGB-stream patch_embed/norm weights are
+copied into extra_patch_embed/extra_norm*, and the relative-position bias
+table is bicubically resized on window-size mismatch (swin.py:1396-1418).
+
+Works on plain numpy arrays: load the .pth with torch on host, pass
+``{k: v.numpy() for k, v in sd.items()}``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Tuple
+
+import jax
+import numpy as np
+
+
+def _linear(sd, prefix):
+    out = {"kernel": np.ascontiguousarray(sd[prefix + ".weight"].T)}
+    if prefix + ".bias" in sd:
+        out["bias"] = sd[prefix + ".bias"]
+    return out
+
+
+def _conv(sd, prefix):
+    out = {"kernel": np.ascontiguousarray(sd[prefix + ".weight"].transpose(2, 3, 1, 0))}
+    if prefix + ".bias" in sd:
+        out["bias"] = sd[prefix + ".bias"]
+    return out
+
+
+def _norm(sd, prefix):
+    return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+
+def _bn(sd, prefix):
+    params = {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+    stats = {"mean": sd[prefix + ".running_mean"], "var": sd[prefix + ".running_var"]}
+    return params, stats
+
+
+def _adapter(sd, prefix):
+    return {"D_fc1": _linear(sd, prefix + ".D_fc1"), "D_fc2": _linear(sd, prefix + ".D_fc2")}
+
+
+def _swin_block(sd, prefix):
+    """stages.{i}.blocks.{j} -> blocks_{j} subtree."""
+    out = {
+        "norm1": _norm(sd, prefix + ".norm1"),
+        "norm2": _norm(sd, prefix + ".norm2"),
+        "attn": {
+            "w_msa": {
+                "rel_pos_bias_table": sd[
+                    prefix + ".attn.w_msa.relative_position_bias_table"
+                ],
+                "qkv": _linear(sd, prefix + ".attn.w_msa.qkv"),
+                "proj": _linear(sd, prefix + ".attn.w_msa.proj"),
+            }
+        },
+        "ffn": {
+            "Dense_0": _linear(sd, prefix + ".ffn.layers.0.0"),
+            "Dense_1": _linear(sd, prefix + ".ffn.layers.1"),
+        },
+    }
+    if prefix + ".MLP_RGB_Adapter.D_fc1.weight" in sd:
+        out["adapter_rgb"] = _adapter(sd, prefix + ".MLP_RGB_Adapter")
+        out["adapter_dte"] = _adapter(sd, prefix + ".MLP_DTE_Adapter")
+    return out
+
+
+def _offset_branch(sd, prefix):
+    return {
+        "dw": _conv(sd, prefix + ".0"),
+        "LayerNorm_0": _norm(sd, prefix + ".1.norm"),
+        "pw": _conv(sd, prefix + ".3"),
+    }
+
+
+def _dattention(sd, prefix):
+    """DeformMPGBlocks.{i}.deform_atten -> deform_atten subtree.
+
+    Returns (params, batch_stats)."""
+    fuse_bn_params, fuse_bn_stats = _bn(sd, prefix + ".fuse_q.conv.1")
+    params = {
+        "conv_offset_x": _offset_branch(sd, prefix + ".conv_offset_x"),
+        "conv_offset_y": _offset_branch(sd, prefix + ".conv_offset_y"),
+        "fuse_q_conv": _conv(sd, prefix + ".fuse_q.conv.0"),
+        "fuse_q_bn": fuse_bn_params,
+        "proj_q": _conv(sd, prefix + ".proj_q"),
+        "proj_k": _conv(sd, prefix + ".proj_k"),
+        "proj_v": _conv(sd, prefix + ".proj_v"),
+        "proj_out": _conv(sd, prefix + ".proj_out"),
+        "sample_weight_fc1": _conv(sd, prefix + ".get_sample_weight.0"),
+        "sample_weight_fc2": _conv(sd, prefix + ".get_sample_weight.2"),
+        "rpe_table": sd[prefix + ".rpe_table"],
+        "deform_weight": sd[prefix + ".deform_weight"],
+        "identity_weight": sd[prefix + ".identity_weight"],
+    }
+    return params, {"fuse_q_bn": fuse_bn_stats}
+
+
+def _patch_embed(sd, prefix):
+    out = {"proj": _conv(sd, prefix + ".projection")}
+    if prefix + ".norm.weight" in sd:
+        out["norm"] = _norm(sd, prefix + ".norm")
+    return out
+
+
+def _segformer_head(sd, prefix, num_levels=4):
+    bn_params, bn_stats = _bn(sd, prefix + ".linear_fuse.bn")
+    params = {
+        "linear_fuse": {
+            "kernel": sd[prefix + ".linear_fuse.conv.weight"].transpose(2, 3, 1, 0)
+        },
+        "fuse_bn": bn_params,
+        "linear_pred": _conv(sd, prefix + ".linear_pred"),
+    }
+    for k in range(1, num_levels + 1):
+        params[f"linear_c{k}"] = _linear(sd, f"{prefix}.linear_c{k}.proj")
+    return params, {"fuse_bn": bn_stats}
+
+
+def _resize_bias_table(table: np.ndarray, target_len: int) -> np.ndarray:
+    """Bicubic-resize a ((2w-1)^2, heads) bias table to a new window size
+    (reference swin.py:1396-1418)."""
+    l1, nh = table.shape
+    s1 = int(round(l1**0.5))
+    s2 = int(round(target_len**0.5))
+    if s1 * s1 != l1 or s2 * s2 != target_len:
+        raise ValueError(f"non-square bias table {l1} -> {target_len}")
+    import jax.image
+
+    img = table.reshape(s1, s1, nh)
+    out = jax.image.resize(img.astype(np.float32), (s2, s2, nh), method="bicubic")
+    return np.asarray(out).reshape(target_len, nh)
+
+
+def import_cmnext_state_dict(
+    sd: Dict[str, np.ndarray], variables: Any
+) -> Tuple[Any, List[str]]:
+    """Import a full IR-ADS CMNeXt state_dict into our variables.
+
+    Returns (new_variables, warnings).  Missing reference keys leave our
+    initialization in place (matching load_state_dict(strict=False)).
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])
+    warnings: List[str] = []
+
+    def _flat(sub, trail=()):
+        if isinstance(sub, dict):
+            for k, v in sub.items():
+                yield from _flat(v, trail + (k,))
+        else:
+            yield trail, sub
+
+    def assign(tree, path, sub):
+        """Overwrite leaves under tree[path] with sub's (possibly nested) leaves."""
+        for trail, leaf in _flat(sub):
+            full = list(path) + list(trail)
+            node = tree
+            ok = True
+            for p in full[:-1]:
+                if p not in node:
+                    warnings.append(f"no param {'/'.join(full)}")
+                    ok = False
+                    break
+                node = node[p]
+            if not ok:
+                continue
+            key = full[-1]
+            if key not in node:
+                warnings.append(f"no param {'/'.join(full)}")
+            elif node[key].shape != leaf.shape:
+                warnings.append(
+                    f"shape mismatch {'/'.join(full)}: {node[key].shape} vs {leaf.shape}"
+                )
+            else:
+                node[key] = leaf.astype(node[key].dtype)
+
+    bb = "backbone"
+    has_backbone_prefix = any(k.startswith("backbone.") for k in sd)
+    pre = "backbone." if has_backbone_prefix else ""
+
+    # patch embeds
+    for name in ("patch_embed", "extra_patch_embed"):
+        if f"{pre}{name}.projection.weight" in sd:
+            assign(params, [bb, name], _patch_embed(sd, pre + name))
+
+    # stages
+    stage_ids = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(re.escape(pre) + r"stages\.(\d+)\.", k))
+        }
+    )
+    for i in stage_ids:
+        block_ids = sorted(
+            {
+                int(m.group(1))
+                for k in sd
+                if (m := re.match(re.escape(pre) + rf"stages\.{i}\.blocks\.(\d+)\.", k))
+            }
+        )
+        for j in block_ids:
+            assign(
+                params,
+                [bb, f"stages_{i}", f"blocks_{j}"],
+                _swin_block(sd, f"{pre}stages.{i}.blocks.{j}"),
+            )
+        if f"{pre}stages.{i}.downsample.reduction.weight" in sd:
+            assign(
+                params,
+                [bb, f"stages_{i}", "downsample"],
+                {
+                    "norm": _norm(sd, f"{pre}stages.{i}.downsample.norm"),
+                    "reduction": {
+                        "kernel": sd[f"{pre}stages.{i}.downsample.reduction.weight"].T
+                    },
+                },
+            )
+
+    # output norms
+    for i in range(4):
+        for name in (f"norm{i}", f"extra_norm{i}", f"fuse_norm{i}"):
+            if f"{pre}{name}.weight" in sd:
+                assign(params, [bb, name], _norm(sd, pre + name))
+
+    # MPG blocks
+    for i in range(4):
+        p = f"{pre}MPGBlocks.{i}"
+        if f"{p}.D_fc1.weight" not in sd:
+            continue
+        assign(
+            params,
+            [bb, f"mpg_{i}"],
+            {
+                "D_fc1": _linear(sd, p + ".D_fc1"),
+                "D_fc2": _linear(sd, p + ".D_fc2"),
+                "P_fc2": _linear(sd, p + ".P_fc2"),
+                "U_fc1": _linear(sd, p + ".U_fc1"),
+                "tfts_gamma_rgb": sd[p + ".tfts_gamma_rgb"],
+                "tfts_beta_rgb": sd[p + ".tfts_beta_rgb"],
+                "tfts_gamma_dte": sd[p + ".tfts_gamma_dte"],
+                "tfts_beta_dte": sd[p + ".tfts_beta_dte"],
+            },
+        )
+
+    # DSCF blocks
+    for i in range(4):
+        p = f"{pre}DeformMPGBlocks.{i}"
+        if f"{p}.D_fc1.weight" not in sd:
+            continue
+        da_params, da_stats = _dattention(sd, p + ".deform_atten")
+        assign(
+            params,
+            [bb, f"deform_mpg_{i}"],
+            {
+                "D_fc1": _linear(sd, p + ".D_fc1"),
+                "D_fc2": _linear(sd, p + ".D_fc2"),
+                "U_fc1": _linear(sd, p + ".U_fc1"),
+                "deform_atten": da_params,
+            },
+        )
+        assign(stats, [bb, f"deform_mpg_{i}", "deform_atten"], da_stats)
+
+    # decode heads
+    for head in ("decode_head", "decode_head_rgb", "decode_head_dte"):
+        if f"{head}.linear_pred.weight" in sd:
+            h_params, h_stats = _segformer_head(sd, head)
+            assign(params, [head], h_params)
+            assign(stats, [head], h_stats)
+
+    return {"params": params, "batch_stats": stats}, warnings
+
+
+def import_pretrained_swin(
+    sd: Dict[str, np.ndarray], variables: Any, window_size: int = 12
+) -> Tuple[Any, List[str]]:
+    """Import an upstream (mmseg-format) Swin checkpoint into the backbone,
+    applying the reference's weight surgery: RGB weights duplicated into the
+    extra (DTE) stream and output norms (train_mm.py:59-81)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    # strip backbone./module. prefixes (reference swin.py:1374-1383)
+    sd = {
+        (k[9:] if k.startswith("backbone.") else k): v for k, v in sd.items()
+    }
+    sd = {(k[7:] if k.startswith("module.") else k): v for k, v in sd.items()}
+
+    # resize relative-position bias tables to our window size
+    target_len = (2 * window_size - 1) ** 2
+    for k in list(sd):
+        if "relative_position_bias_table" in k and sd[k].shape[0] != target_len:
+            sd[k] = _resize_bias_table(sd[k], target_len)
+
+    # weight surgery: duplicate rgb stream -> extra stream
+    extra = {}
+    for k, v in sd.items():
+        if k.startswith("patch_embed."):
+            extra["extra_" + k] = v
+        if re.match(r"norm\d+\.", k) or k.startswith("norm."):
+            extra["extra_" + k] = v
+    sd.update(extra)
+    sd = {"backbone." + k: v for k, v in sd.items()}
+    return import_cmnext_state_dict(sd, variables)
