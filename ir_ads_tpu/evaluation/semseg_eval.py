@@ -59,16 +59,22 @@ def msf_logits(
     def scale_step(nh: int, nw: int):
         @jax.jit
         def step(rgb, dte, acc):
+            m = rgb.shape[0]
             srgb = resize_bilinear(rgb, (nh, nw), align_corners=True)
             sdte = resize_bilinear(dte, (nh, nw), align_corners=True)
+            if flip:  # one forward instance (see make_sliding_window_fn.run)
+                srgb = jnp.concatenate([srgb, srgb[:, :, ::-1]], axis=0)
+                sdte = jnp.concatenate([sdte, sdte[:, :, ::-1]], axis=0)
             logits = forward(srgb, sdte)
-            logits = resize_bilinear(logits, (h, w), align_corners=True)
-            acc = acc + jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             if flip:
-                logits_f = forward(srgb[:, :, ::-1], sdte[:, :, ::-1])[:, :, ::-1]
-                logits_f = resize_bilinear(logits_f, (h, w), align_corners=True)
-                acc = acc + jax.nn.softmax(logits_f.astype(jnp.float32), axis=-1)
-            return acc
+                logits = jnp.concatenate(
+                    [logits[:m], logits[m:, :, ::-1]], axis=0
+                )
+            logits = resize_bilinear(logits, (h, w), align_corners=True)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            if flip:
+                probs = probs[:m] + probs[m:]
+            return acc + probs
 
         return step
 
@@ -138,9 +144,16 @@ def make_sliding_window_fn(
         ).reshape(n_tiles * b, th, tw, dte.shape[-1])
 
         def run(tr, td):
+            # flip ensembling via batch doubling: ONE forward instance in the
+            # program (a second inlined forward doubles the HLO size and can
+            # exceed compile-service payload limits) and better MXU batching.
+            m = tr.shape[0]
+            if flip:
+                tr = jnp.concatenate([tr, tr[:, :, ::-1]], axis=0)
+                td = jnp.concatenate([td, td[:, :, ::-1]], axis=0)
             out = forward(tr, td)
             if flip:
-                out = out + forward(tr[:, :, ::-1], td[:, :, ::-1])[:, :, ::-1]
+                out = out[:m] + out[m:, :, ::-1]
             return out
 
         if chunk >= n_tiles * b:

@@ -38,6 +38,7 @@ from ir_ads_tpu.ops.layers import (
     kaiming_uniform_init,
     trunc_normal_init,
 )
+from ir_ads_tpu.ops.pallas_swin import fused_window_attention, shift_region_ids
 from ir_ads_tpu.ops.window_attention import (
     gather_rel_pos_bias,
     shift_window_mask,
@@ -58,14 +59,16 @@ class WindowMSA(nn.Module):
     qkv_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    attn_impl: str = "xla"  # "xla" | "pallas" (fused kernel, TPU only)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(
         self,
         x: jax.Array,  # (B*nW, N, C)
-        mask: Optional[jax.Array],  # (nW, N, N) or None
+        mask: Optional[jax.Array],  # (nW, N, N) or None (xla impl)
         deterministic: bool = True,
+        region: Optional[jax.Array] = None,  # (nW, N) int32 (pallas impl)
     ) -> jax.Array:
         bn, n, c = x.shape
         ws = self.window_size
@@ -91,7 +94,12 @@ class WindowMSA(nn.Module):
             qkv[:, :, 2].transpose(0, 2, 1, 3),
         )
         bias = gather_rel_pos_bias(table, ws, ws)  # (heads, N, N)
-        out = window_attention(q, k, v, bias, mask, scale)
+        if self.attn_impl == "pallas":
+            if region is None:
+                region = jnp.zeros((1, n), jnp.int32)
+            out = fused_window_attention(q, k, v, bias, region, scale)
+        else:
+            out = window_attention(q, k, v, bias, mask, scale)
         out = out.transpose(0, 2, 1, 3).reshape(bn, n, c)
         out = nn.Dense(
             c, dtype=self.dtype, kernel_init=trunc_normal_init(), name="proj"
@@ -111,6 +119,7 @@ class ShiftWindowMSA(nn.Module):
     shift_size: int = 0
     drop_path_rate: float = 0.0
     proj_drop: float = 0.0
+    attn_impl: str = "xla"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -125,11 +134,13 @@ class ShiftWindowMSA(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
         hp, wp = h + pad_b, w + pad_r
 
+        mask = region = None
         if shift > 0:
             x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(shift_window_mask(hp, wp, ws, shift))
-        else:
-            mask = None
+            if self.attn_impl == "pallas":
+                region = jnp.asarray(shift_region_ids(hp, wp, ws, shift))
+            else:
+                mask = jnp.asarray(shift_window_mask(hp, wp, ws, shift))
 
         wins = window_partition(x, ws)  # (B*nW, N, C)
         wins = WindowMSA(
@@ -137,9 +148,10 @@ class ShiftWindowMSA(nn.Module):
             num_heads=self.num_heads,
             window_size=ws,
             proj_drop=self.proj_drop,
+            attn_impl=self.attn_impl,
             dtype=self.dtype,
             name="w_msa",
-        )(wins, mask, deterministic)
+        )(wins, mask, deterministic, region)
         x = window_reverse(wins, ws, hp, wp)
 
         if shift > 0:
@@ -201,6 +213,7 @@ class SwinBlockAdapter(nn.Module):
     drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     adapter_ratio: float = 0.0625
+    attn_impl: str = "xla"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -216,6 +229,7 @@ class SwinBlockAdapter(nn.Module):
             shift_size=self.window_size // 2 if self.shift else 0,
             drop_path_rate=self.drop_path_rate,
             proj_drop=self.drop_rate,
+            attn_impl=self.attn_impl,
             dtype=self.dtype,
             name="attn",
         )(h, deterministic)
@@ -256,6 +270,7 @@ class SwinStage(nn.Module):
     downsample: bool
     adapter_ratio: float = 0.0625
     use_remat: bool = False
+    attn_impl: str = "xla"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -275,6 +290,7 @@ class SwinStage(nn.Module):
                 drop_rate=self.drop_rate,
                 drop_path_rate=float(self.drop_path_rates[i]),
                 adapter_ratio=self.adapter_ratio,
+                attn_impl=self.attn_impl,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, sub_mode, deterministic)
@@ -606,6 +622,7 @@ class SwinTransformer(nn.Module):
     dscf_ratio: float = 0.125
     use_remat: bool = False
     mmst_mask: bool = True
+    attn_impl: str = "xla"  # "pallas" = fused TPU kernel
     dtype: Optional[Dtype] = None
 
     # DSCF per-level config (reference swin.py:1263-1265)
@@ -661,6 +678,7 @@ class SwinTransformer(nn.Module):
                 downsample=i < num_layers - 1,
                 adapter_ratio=self.adapter_ratio,
                 use_remat=self.use_remat,
+                attn_impl=self.attn_impl,
                 dtype=self.dtype,
                 name=f"stages_{i}",
             )

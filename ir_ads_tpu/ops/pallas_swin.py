@@ -1,0 +1,195 @@
+"""Fused window-attention Pallas kernel for Swin on TPU.
+
+Why a kernel: the XLA path materializes the (B*nW, heads, N, N) attention
+tensor in HBM twice (QK^T out, softmax out) — at 480x640 that is ~140
+windows x heads x 144^2 floats per block, pure HBM bandwidth.  This kernel
+keeps the attention matrix in VMEM: one HBM read of q/k/v, one write of the
+output.
+
+Masking trick: the SW-MSA mask is NOT passed as a dense (nW, N, N) tensor
+(11+ MB at 480x640).  Shifted-window masking is equivalent to "tokens from
+different shift regions don't attend", so we pass per-token int32 region ids
+(nW, N) and build the -inf mask on the fly in VMEM with one compare.
+
+Semantics match ir_ads_tpu.ops.window_attention.window_attention exactly
+(tests/test_pallas_swin.py), which itself matches the reference WindowMSA
+(semseg/models/backbones/swin.py:81-119).
+
+Backward: jax.custom_vjp whose bwd recomputes via the XLA reference — the
+kernel accelerates inference/eval (the headline benchmark path); training
+gradients are mathematically identical to the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ir_ads_tpu.ops.window_attention import (
+    shift_window_mask,
+    window_attention as xla_window_attention,
+)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, region_ref, o_ref, *, scale, n):
+    """One (window-chunk, head) tile.
+
+    q/k/v refs: (1, G, N, D) VMEM; bias: (1, N, N); region: (G, N) int32;
+    out: (1, G, N, D).
+    """
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0]
+    attn = jax.lax.dot_general(
+        q * scale,
+        k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (G, N, N)
+    attn = attn + bias_ref[0].astype(jnp.float32)[None]
+    region = region_ref[:]
+    neq = region[:, :, None] != region[:, None, :]
+    attn = jnp.where(neq, attn - 1e9, attn)
+    # padded tail columns (N padded up) carry region id -1 on real rows ->
+    # already masked by the region compare; padded rows produce garbage that
+    # the caller slices away.
+    attn = jax.nn.softmax(attn, axis=-1)
+    o_ref[0] = jax.lax.dot_general(
+        attn.astype(v.dtype),
+        v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def pallas_window_attention(
+    q: jax.Array,  # (B*nW, heads, N, D)
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,  # (heads, N, N)
+    region: Optional[jax.Array],  # (nW, N) int32 or None (no shift)
+    scale: float,
+    window_chunk: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    bn, h, n, d = q.shape
+    n_pad = _round_up(n, 128)
+    d_pad = _round_up(d, 128)
+
+    # layout: (heads, B*nW, N, D) so heads is a clean grid axis
+    def to_hw(t):
+        t = t.transpose(1, 0, 2, 3)
+        return jnp.pad(t, ((0, 0), (0, 0), (0, n_pad - n), (0, d_pad - d)))
+
+    qh, kh, vh = to_hw(q), to_hw(k), to_hw(v)
+    bias_p = jnp.pad(bias, ((0, 0), (0, n_pad - n), (0, n_pad - n)))
+
+    if region is None:
+        region_full = jnp.zeros((bn, n), jnp.int32)
+    else:
+        nw = region.shape[0]
+        region_full = jnp.tile(region, (bn // nw, 1))
+    # padded key columns get id -1 => masked vs any real token id >= 0
+    region_full = jnp.pad(
+        region_full, ((0, 0), (0, n_pad - n)), constant_values=-1
+    )
+
+    g = min(window_chunk, bn)
+    while bn % g:
+        g -= 1
+    grid = (bn // g, h)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, n=n),
+        out_shape=jax.ShapeDtypeStruct((h, bn, n_pad, d_pad), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, g, n_pad, d_pad), lambda i, j: (j, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, n_pad, d_pad), lambda i, j: (j, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, n_pad, d_pad), lambda i, j: (j, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, n_pad), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_pad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, g, n_pad, d_pad), lambda i, j: (j, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(
+        qh.reshape(h, bn, n_pad, d_pad),
+        kh.reshape(h, bn, n_pad, d_pad),
+        vh.reshape(h, bn, n_pad, d_pad),
+        bias_p,
+        region_full,
+    )
+    out = out[:, :, :n, :d].transpose(1, 0, 2, 3)  # (B*nW, heads, N, D)
+    return out
+
+
+def _region_mask_attention(q, k, v, bias, region, scale):
+    """XLA twin of the kernel used for the backward pass: identical math,
+    region-id masking expressed densely."""
+    bn = q.shape[0]
+    if region is None:
+        mask = None
+    else:
+        nw = region.shape[0]
+        neq = region[:, :, None] != region[:, None, :]
+        mask = jnp.where(neq, -1e9, 0.0).astype(jnp.float32)
+    return xla_window_attention(q, k, v, bias, mask, scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_window_attention(q, k, v, bias, region, scale):
+    """Pallas forward + XLA-recompute backward.  region: (nW, N) int32 ids
+    (use zeros for unshifted windows)."""
+    return pallas_window_attention(q, k, v, bias, region, scale)
+
+
+def _fused_fwd(q, k, v, bias, region, scale):
+    out = pallas_window_attention(q, k, v, bias, region, scale)
+    return out, (q, k, v, bias, region)
+
+
+def _fused_bwd(scale, res, g):
+    q, k, v, bias, region = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, b_: _region_mask_attention(q_, k_, v_, b_, region, scale),
+        q, k, v, bias,
+    )
+    dq, dk, dv, dbias = vjp(g)
+    return dq, dk, dv, dbias, jnp.zeros_like(region)
+
+
+fused_window_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.lru_cache(maxsize=None)
+def shift_region_ids(hp: int, wp: int, ws: int, shift: int) -> np.ndarray:
+    """Per-token shift-region ids, (nW, ws*ws) int32.
+
+    Two tokens in the same window may attend iff their ids match — equivalent
+    to the dense mask from shift_window_mask (verified in tests)."""
+    img = np.zeros((hp, wp), dtype=np.int32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for vs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[hs, vs] = cnt
+            cnt += 1
+    img = img.reshape(hp // ws, ws, wp // ws, ws).transpose(0, 2, 1, 3)
+    return img.reshape(-1, ws * ws)
