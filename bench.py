@@ -59,7 +59,8 @@ def main():
         return y
 
     predict = make_sliding_window_fn(
-        forward, IMAGE, TILE, NUM_CLASSES, overlap=1.0 / 3.0, flip=True
+        forward, IMAGE, TILE, NUM_CLASSES, overlap=1.0 / 3.0, flip=True,
+        fuse=False,  # compile-service payload cap: keep programs small
     )
 
     key = jax.random.PRNGKey(1)

@@ -1,0 +1,263 @@
+"""vCLR deformable-mask DINO meta-architecture.
+
+Reference: projects/vCLR_deformable_mask/modeling/dino.py — ResNet backbone
+→ ChannelMapper neck → DINO transformer (CDN denoising, two-stage, 2000
+queries) → per-layer class/box/ROI/mask heads, where mask logits are the
+batched product of query mask-embeddings with a fused FPN segmentation map
+(dino.py:818-871); inference scores boxes by sqrt(cls x mask-score) and
+applies class-agnostic NMS (dino.py:924-947, 1204-1257).
+
+TPU redesign:
+  * Static shapes end to end: GT padded to ``max_gt``; CDN group count is a
+    static function of max_gt; inference NMS is top-k + IoU-matrix
+    suppression in one jit program (no dynamic box lists).
+  * The EMA teacher is not a module flag but a second parameter pytree
+    (see ir_ads_tpu/detection/ema.py) applied with the same ``apply_fn`` —
+    the functional equivalent of apply_model_ema_and_restore.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ir_ads_tpu.detection.box_ops import box_cxcywh_to_xyxy, box_iou
+from ir_ads_tpu.detection.cdn import (
+    cdn_groups,
+    generate_cdn_queries,
+    make_cdn_attn_mask,
+)
+from ir_ads_tpu.detection.transformer import MLP, DINOTransformer, inverse_sigmoid
+from ir_ads_tpu.models.backbones.resnet import ResNet
+from ir_ads_tpu.ops.layers import resize_bilinear
+
+Dtype = Any
+
+PIXEL_MEAN = np.asarray([123.675, 116.280, 103.530], np.float32)
+PIXEL_STD = np.asarray([58.395, 57.120, 57.375], np.float32)
+
+
+class ChannelMapper(nn.Module):
+    """1x1 conv + GroupNorm per level, extra stride-2 3x3 convs for more
+    levels (reference detrex/modeling/neck/channel_mapper.py:29-170)."""
+
+    out_channels: int = 256
+    num_outs: int = 4
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jax.Array]) -> List[jax.Array]:
+        outs = []
+        for i, f in enumerate(feats):
+            h = nn.Conv(self.out_channels, (1, 1), use_bias=True,
+                        dtype=self.dtype, name=f"conv_{i}")(f)
+            h = nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"gn_{i}")(h)
+            outs.append(h)
+        src = feats[-1]
+        for i in range(len(feats), self.num_outs):
+            src = nn.Conv(self.out_channels, (3, 3), strides=2, padding=1,
+                          dtype=self.dtype, name=f"extra_conv_{i}")(src)
+            src = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                               name=f"extra_gn_{i}")(src)
+            outs.append(src)
+        return outs
+
+
+class DINODetector(nn.Module):
+    """Full student network: returns per-layer predictions + enc outputs."""
+
+    num_classes: int = 80
+    num_queries: int = 900
+    embed_dim: int = 256
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    num_levels: int = 4
+    backbone_arch: str = "resnet50"
+    dn_number: int = 100  # positive dn queries budget
+    label_noise_ratio: float = 0.5
+    box_noise_scale: float = 1.0
+    max_gt: int = 20  # static GT padding
+    use_remat: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        images: jax.Array,  # (B, H, W, 3) raw RGB 0..255
+        gt_labels: Optional[jax.Array] = None,  # (B, G)
+        gt_boxes: Optional[jax.Array] = None,  # (B, G, 4) cxcywh [0,1]
+        gt_valid: Optional[jax.Array] = None,  # (B, G)
+        train: bool = False,
+    ) -> Dict[str, jax.Array]:
+        x = (images - PIXEL_MEAN) / PIXEL_STD
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+
+        feats = ResNet(
+            arch=self.backbone_arch,
+            frozen_bn=True,
+            out_features=("res3", "res4", "res5"),
+            dtype=self.dtype,
+            name="backbone",
+        )(x, train)
+        levels = [feats["res3"], feats["res4"], feats["res5"]]
+        levels = ChannelMapper(
+            self.embed_dim, self.num_outs_static(), dtype=self.dtype, name="neck"
+        )(levels)
+
+        label_embed = self.param(
+            "label_enc", nn.initializers.normal(1.0),
+            (self.num_classes, self.embed_dim),
+        )
+
+        dn_queries = dn_refs = attn_mask = None
+        n_groups = 0
+        if train and gt_labels is not None and self.dn_number > 0:
+            n_groups = cdn_groups(self.dn_number, self.max_gt)
+            dn_queries, dn_refs = generate_cdn_queries(
+                gt_labels, gt_boxes, gt_valid,
+                label_embed.astype(x.dtype),
+                self.make_rng("cdn"),
+                n_groups, self.label_noise_ratio, self.box_noise_scale,
+                self.num_classes,
+            )
+            attn_mask = jnp.asarray(
+                make_cdn_attn_mask(self.max_gt, n_groups, self.num_queries)
+            )
+
+        out = DINOTransformer(
+            embed_dim=self.embed_dim,
+            num_heads=8,
+            ffn_dim=2048,
+            num_encoder_layers=self.num_encoder_layers,
+            num_decoder_layers=self.num_decoder_layers,
+            num_levels=self.num_outs_static(),
+            num_queries=self.num_queries,
+            num_classes=self.num_classes,
+            dropout=0.0,
+            use_remat=self.use_remat,
+            dtype=self.dtype,
+            name="transformer",
+        )(levels, dn_queries, dn_refs, attn_mask, deterministic=not train)
+
+        # gradient tether for the label encoder (dino.py:820: hack so the
+        # unused-in-eval embedding still receives zero grads in DDP; in JAX
+        # it keeps label_enc in the train graph even with dn disabled)
+        hidden = out["hidden_states"] + (label_embed[0, 0] * 0.0).astype(
+            out["hidden_states"].dtype
+        )
+
+        # fused FPN segmentation features (dino.py:822-833): every level's
+        # encoder memory upsampled to level-0 resolution, concat, conv
+        # residual, LN
+        spatial_shapes = out["spatial_shapes"]
+        h0, w0 = spatial_shapes[0]
+        b = images.shape[0]
+        start = 0
+        seg_feats = []
+        for (h, w) in spatial_shapes:
+            lvl = out["memory"][:, start : start + h * w].reshape(b, h, w, -1)
+            start += h * w
+            seg_feats.append(
+                resize_bilinear(lvl, (h0, w0), align_corners=True)
+            )
+        seg = jnp.concatenate(seg_feats, axis=-1)  # (B, h0, w0, 4*C)
+        seg_dim = seg.shape[-1]
+        m = nn.Conv(2 * seg_dim, (3, 3), padding=1, dtype=self.dtype,
+                    name="seg_map_conv1")(seg)
+        m = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="seg_map_bn")(m)
+        m = nn.relu(m)
+        m = nn.Conv(seg_dim, (3, 3), padding=1, dtype=self.dtype,
+                    name="seg_map_conv2")(m)
+        seg = nn.LayerNorm(dtype=self.dtype, name="seg_post_ln")(m + seg)
+
+        # per-layer mask / ROI heads on normed states
+        n_pred = self.num_decoder_layers + 1
+        mask_heads = [
+            MLP(self.embed_dim, seg_dim, 3, dtype=self.dtype,
+                name=f"mask_embed_{i}")
+            for i in range(n_pred)
+        ]
+        roi_heads = [
+            MLP(self.embed_dim, 1024, 3, dtype=self.dtype, name=f"roi_embed_{i}")
+            for i in range(n_pred)
+        ]
+
+        seg_flat = seg.reshape(b, h0 * w0, seg_dim)
+
+        def mask_logits(head, states):
+            emb = head(states)  # (B, Q, seg_dim)
+            return jnp.einsum(
+                "bqd,bsd->bqs", emb, seg_flat,
+                preferred_element_type=jnp.float32,
+            ).reshape(b, states.shape[1], h0, w0)
+
+        pred_masks = jnp.stack(
+            [mask_logits(mask_heads[i], hidden[i]) for i in range(self.num_decoder_layers)]
+        )
+        pred_rois = jnp.stack(
+            [nn.relu(roi_heads[i](hidden[i])) for i in range(self.num_decoder_layers)]
+        )
+
+        result = {
+            "pred_logits": out["pred_logits"],  # (L, B, Qtot, C)
+            "pred_boxes": out["pred_boxes"],  # (L, B, Qtot, 4)
+            "pred_masks": pred_masks,  # (L, B, Qtot, h0, w0)
+            "pred_rois": pred_rois,
+            "pred_queries": hidden,  # (L, B, Qtot, C)
+            "enc_logits": out["enc_class"],
+            "enc_boxes": out["enc_coord"],
+            "enc_masks": mask_logits(mask_heads[-1], out["enc_state"]),
+            "enc_rois": nn.relu(roi_heads[-1](out["enc_state"])),
+            "n_dn": 2 * self.max_gt * n_groups,
+            "n_groups": n_groups,
+        }
+        return result
+
+    def num_outs_static(self) -> int:
+        return self.num_levels
+
+
+def split_dn(
+    tensor: jax.Array, n_dn: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Split per-layer predictions into (dn_part, matching_part) along the
+    query axis (dn_post_process, dino.py:1128-1150)."""
+    return tensor[..., :n_dn, :], tensor[..., n_dn:, :]
+
+
+def nms_topk(
+    scores: jax.Array,  # (B, Q) class-max scores (post-sigmoid)
+    boxes: jax.Array,  # (B, Q, 4) cxcywh
+    topk: int = 300,
+    iou_thresh: float = 0.7,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Static-shape class-agnostic NMS: top-k by score then greedy IoU-matrix
+    suppression (reference nms_inference, dino.py:1204-1257, uses
+    torchvision nms after topk).  Returns (scores, boxes_xyxy, keep_mask)."""
+    top_scores, idx = jax.lax.top_k(scores, topk)
+    top_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+    xyxy = box_cxcywh_to_xyxy(top_boxes)
+
+    def suppress(bx):
+        iou = box_iou(bx, bx)[0]
+        higher = (
+            jnp.triu(jnp.ones((topk, topk), bool), k=1).T
+        )  # row j suppressed by earlier row i<j
+
+        def body(i, keep):
+            sup = (iou[i] > iou_thresh) & keep[i] & (
+                jnp.arange(topk) > i
+            )
+            return keep & ~sup
+
+        keep = jax.lax.fori_loop(0, topk, body, jnp.ones((topk,), bool))
+        return keep
+
+    keep = jax.vmap(suppress)(xyxy)
+    return top_scores, xyxy, keep

@@ -1,0 +1,172 @@
+"""Multi-scale deformable attention (Deformable-DETR / DINO core op).
+
+TPU-native equivalent of the reference's CUDA kernel
+(detrex/layers/csrc/MsDeformAttn/ms_deform_im2col_cuda.cuh) and its
+pure-torch fallback (detrex/layers/multi_scale_deform_attn.py:96-138):
+per-level bilinear sampling at learned offsets x softmax attention weights.
+
+Design notes:
+  * Spatial shapes are STATIC (python tuples) — each level's sampling is an
+    independent batched gather that XLA fuses; no level_start_index
+    bookkeeping on device.
+  * Sampling uses align_corners=False + zeros padding exactly like
+    F.grid_sample defaults in the fallback (and the CUDA kernel's border
+    handling).
+  * Differentiable via JAX autodiff (gather -> scatter-add transpose); the
+    reference's hand-written CUDA backward is the spec the autodiff
+    gradients are tested against (tests/test_msdeform.py, gradcheck-style).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ir_ads_tpu.ops.grid_sample import grid_sample
+
+Dtype = Any
+
+
+def ms_deform_attn(
+    value: jax.Array,  # (B, sum(H*W), heads, head_dim)
+    spatial_shapes: Sequence[Tuple[int, int]],  # static [(H, W), ...]
+    sampling_locations: jax.Array,  # (B, Lq, heads, levels, points, 2) in [0,1]
+    attention_weights: jax.Array,  # (B, Lq, heads, levels, points)
+) -> jax.Array:
+    """Returns (B, Lq, heads * head_dim)."""
+    b, _, n_heads, head_dim = value.shape
+    _, lq, _, n_levels, n_points, _ = sampling_locations.shape
+    grids = 2 * sampling_locations - 1  # [0,1] -> [-1,1]
+
+    start = 0
+    sampled = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value[:, start : start + h * w]  # (B, HW, heads, D)
+        start += h * w
+        # (B*heads, H, W, D) NHWC
+        v = v.transpose(0, 2, 1, 3).reshape(b * n_heads, h, w, head_dim)
+        g = grids[:, :, :, lvl].transpose(0, 2, 1, 3, 4)  # (B, heads, Lq, P, 2)
+        g = g.reshape(b * n_heads, lq, n_points, 2)
+        s = grid_sample(v, g, align_corners=False, padding_zero=True)
+        sampled.append(s)  # (B*heads, Lq, P, D)
+
+    # (B*heads, Lq, levels, P, D)
+    stacked = jnp.stack(sampled, axis=2)
+    w = attention_weights.transpose(0, 2, 1, 3, 4).reshape(
+        b * n_heads, lq, n_levels, n_points
+    )
+    out = jnp.einsum(
+        "blpnd,blpn->bld",
+        stacked.reshape(b * n_heads, lq, n_levels, n_points, head_dim),
+        w.astype(stacked.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(value.dtype)
+    out = out.reshape(b, n_heads, lq, head_dim).transpose(0, 2, 1, 3)
+    return out.reshape(b, lq, n_heads * head_dim)
+
+
+def _offset_bias_init(num_heads, num_levels, num_points):
+    """Directional point-spread bias (reference init_weights,
+    multi_scale_deform_attn.py:202-218)."""
+    thetas = np.arange(num_heads, dtype=np.float32) * (2.0 * math.pi / num_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)  # (heads, 2)
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid[:, None, None, :], (1, num_levels, num_points, 1))
+    for i in range(num_points):
+        grid[:, :, i, :] *= i + 1
+    return grid.reshape(-1)
+
+
+class MSDeformAttention(nn.Module):
+    """Flax module matching detrex MultiScaleDeformableAttention
+    (multi_scale_deform_attn.py:140-428), batch-first."""
+
+    embed_dim: int = 256
+    num_heads: int = 8
+    num_levels: int = 4
+    num_points: int = 4
+    dropout: float = 0.1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jax.Array,  # (B, Lq, C)
+        value: jax.Array,  # (B, sum(HW), C)
+        reference_points: jax.Array,  # (B, Lq, levels, 2 or 4) in [0,1]
+        spatial_shapes: Sequence[Tuple[int, int]],
+        identity: Optional[jax.Array] = None,
+        query_pos: Optional[jax.Array] = None,
+        key_padding_mask: Optional[jax.Array] = None,  # (B, sum(HW)) True=pad
+        deterministic: bool = True,
+    ) -> jax.Array:
+        if identity is None:
+            identity = query
+        if query_pos is not None:
+            query = query + query_pos
+
+        b, lq, _ = query.shape
+        n_value = value.shape[1]
+        head_dim = self.embed_dim // self.num_heads
+
+        v = nn.Dense(self.embed_dim, dtype=self.dtype, name="value_proj")(value)
+        if key_padding_mask is not None:
+            v = jnp.where(key_padding_mask[..., None], 0.0, v)
+        v = v.reshape(b, n_value, self.num_heads, head_dim)
+
+        offsets = nn.Dense(
+            self.num_heads * self.num_levels * self.num_points * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                _offset_bias_init(self.num_heads, self.num_levels, self.num_points),
+                dtype,
+            ),
+            dtype=self.dtype,
+            name="sampling_offsets",
+        )(query).reshape(b, lq, self.num_heads, self.num_levels, self.num_points, 2)
+
+        weights = nn.Dense(
+            self.num_heads * self.num_levels * self.num_points,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="attention_weights",
+        )(query).reshape(
+            b, lq, self.num_heads, self.num_levels * self.num_points
+        )
+        weights = jax.nn.softmax(weights.astype(jnp.float32), axis=-1).astype(
+            query.dtype
+        )
+        weights = weights.reshape(
+            b, lq, self.num_heads, self.num_levels, self.num_points
+        )
+
+        if reference_points.shape[-1] == 2:
+            normalizer = jnp.asarray(
+                [[wd, ht] for (ht, wd) in spatial_shapes], jnp.float32
+            )  # (levels, 2) as (w, h)
+            locations = (
+                reference_points[:, :, None, :, None, :]
+                + offsets / normalizer[None, None, None, :, None, :]
+            )
+        elif reference_points.shape[-1] == 4:
+            locations = (
+                reference_points[:, :, None, :, None, :2]
+                + offsets
+                / self.num_points
+                * reference_points[:, :, None, :, None, 2:]
+                * 0.5
+            )
+        else:
+            raise ValueError("reference_points last dim must be 2 or 4")
+
+        out = ms_deform_attn(v, spatial_shapes, locations, weights)
+        out = nn.Dense(self.embed_dim, dtype=self.dtype, name="output_proj")(out)
+        if self.dropout > 0.0 and not deterministic:
+            out = nn.Dropout(self.dropout)(out, deterministic=False)
+        return identity + out

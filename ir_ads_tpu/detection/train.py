@@ -1,0 +1,224 @@
+"""Detection training: loss assembly + jitted teacher-student train step.
+
+Replicates the vCLR training semantics (projects/.../train_net.py:50-137 +
+dino.py forward):
+  * student on the strong view with CDN denoising; Hungarian losses on every
+    decoder layer + the encoder stage (TwoStageCriterion), CDN losses
+    (DINOCriterion), point-sampled mask losses;
+  * EMA teacher inference on the weak view; consistency loss between
+    Hungarian-matched student queries and confident teacher detections
+    (ConsisCriterion);
+  * AdamW with backbone lr multiplier and grad clipping
+    (train_net.py:174-203: backbone 2e-5, sampling offsets 2e-5, rest 2e-4,
+    clip 0.1), EMA decay 0.999.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ir_ads_tpu.detection.criterion import (
+    consistency_loss,
+    dn_criterion,
+    set_criterion,
+)
+from ir_ads_tpu.detection.dino import split_dn
+from ir_ads_tpu.detection.ema import ema_init, ema_update
+
+DEFAULT_WEIGHTS = {
+    "loss_class": 1.0,
+    "loss_bbox": 5.0,
+    "loss_giou": 2.0,
+    "loss_mask": 1.0,
+    "loss_dice": 1.0,
+}
+
+
+def detection_losses(
+    outputs: Dict[str, jax.Array],
+    gt_labels: jax.Array,
+    gt_boxes: jax.Array,
+    gt_valid: jax.Array,
+    gt_masks: Optional[jax.Array],
+    key: jax.Array,
+    mask_loss_points: int = 12544,
+) -> Dict[str, jax.Array]:
+    """Aggregate per-layer + enc + dn losses from DINODetector outputs."""
+    n_dn = outputs["n_dn"]
+    n_layers = outputs["pred_logits"].shape[0]
+    losses: Dict[str, jax.Array] = {}
+
+    for lvl in range(n_layers):
+        logits = outputs["pred_logits"][lvl]
+        boxes = outputs["pred_boxes"][lvl]
+        masks = outputs["pred_masks"][lvl]
+        if n_dn > 0:
+            dn_logits, logits = split_dn(logits, n_dn)
+            dn_boxes, boxes = split_dn(boxes, n_dn)
+            masks = masks[:, n_dn:]
+            dn = dn_criterion(
+                dn_logits, dn_boxes, gt_labels, gt_boxes, gt_valid,
+                outputs["n_groups"],
+            )
+            for k, v in dn.items():
+                losses[f"{k}_{lvl}"] = v
+        key, sub = jax.random.split(key)
+        lvl_losses = set_criterion(
+            logits, boxes, gt_labels, gt_boxes, gt_valid,
+            pred_masks=masks if gt_masks is not None else None,
+            gt_masks=gt_masks,
+            mask_key=sub,
+            num_points=mask_loss_points,
+        )
+        for k, v in lvl_losses.items():
+            losses[f"{k}_{lvl}"] = v
+
+    # encoder stage (enc_outputs in the reference)
+    key, sub = jax.random.split(key)
+    enc_losses = set_criterion(
+        outputs["enc_logits"], outputs["enc_boxes"],
+        gt_labels, gt_boxes, gt_valid,
+        pred_masks=outputs["enc_masks"] if gt_masks is not None else None,
+        gt_masks=gt_masks,
+        mask_key=sub,
+        num_points=mask_loss_points,
+    )
+    for k, v in enc_losses.items():
+        losses[f"{k}_enc"] = v
+    return losses
+
+
+class DetTrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    ema_params: Any
+    opt_state: optax.OptState
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, apply_fn, params, batch_stats, tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            ema_params=ema_init(params),
+            opt_state=tx.init(params),
+            tx=tx,
+            apply_fn=apply_fn,
+        )
+
+
+def detection_optimizer(
+    params: Any,
+    base_lr: float = 2e-4,
+    backbone_mult: float = 0.1,
+    offsets_mult: float = 0.1,
+    weight_decay: float = 1e-4,
+    clip_norm: float = 0.1,
+    total_steps: int = 60000,
+) -> optax.GradientTransformation:
+    """Param groups per reference train_net.py:174-203."""
+
+    def label_fn(params):
+        def label(path, _):
+            joined = "/".join(
+                str(getattr(p, "key", p)) for p in path
+            ).lower()
+            if "backbone" in joined:
+                return "backbone"
+            if "sampling_offsets" in joined:
+                return "offsets"
+            return "rest"
+
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    def make(mult):
+        return optax.adamw(base_lr * mult, weight_decay=weight_decay)
+
+    tx = optax.multi_transform(
+        {"backbone": make(backbone_mult), "offsets": make(offsets_mult),
+         "rest": make(1.0)},
+        label_fn(params),
+    )
+    return optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+
+
+def make_detection_train_step(
+    ema_decay: float = 0.999,
+    consistency_weight: float = 1.0,
+    teacher_score_thresh: float = 0.5,
+    use_teacher: bool = True,
+):
+    """Returns the jittable step:
+    (state, (strong_imgs, weak_imgs, labels, boxes, valid, masks), rng)."""
+
+    def step(state: DetTrainState, batch, rng: jax.Array):
+        strong, weak, labels, boxes, valid, masks = batch
+        rng = jax.random.fold_in(rng, state.step)
+        cdn_key, loss_key = jax.random.split(rng)
+
+        teacher_out = None
+        if use_teacher:
+            teacher_out = state.apply_fn(
+                {"params": state.ema_params, "batch_stats": state.batch_stats},
+                weak,
+                train=False,
+            )
+            teacher_out = jax.lax.stop_gradient(teacher_out)
+
+        def loss_fn(params):
+            out, mut = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                strong, labels, boxes, valid,
+                train=True,
+                rngs={"cdn": cdn_key},
+                mutable=["batch_stats"],
+            )
+            losses = detection_losses(
+                out, labels, boxes, valid, masks, loss_key
+            )
+            if teacher_out is not None:
+                t_logits = teacher_out["pred_logits"][-1]
+                t_scores = jax.nn.sigmoid(
+                    t_logits.astype(jnp.float32)
+                ).max(-1)
+                t_valid = t_scores > teacher_score_thresh
+                n_dn = out["n_dn"]
+                s_queries = out["pred_queries"][-1][:, n_dn:]
+                s_boxes = out["pred_boxes"][-1][:, n_dn:]
+                losses["loss_consistency"] = (
+                    consistency_weight
+                    * consistency_loss(
+                        s_queries,
+                        teacher_out["pred_queries"][-1],
+                        teacher_out["pred_boxes"][-1],
+                        s_boxes,
+                        t_valid,
+                    )
+                )
+            total = sum(losses.values())
+            return total, (mut["batch_stats"], losses)
+
+        (total, (new_stats, losses)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            ema_params=ema_update(state.ema_params, new_params, ema_decay),
+            opt_state=new_opt,
+        )
+        metrics = {"loss": total, **losses}
+        return new_state, metrics
+
+    return step

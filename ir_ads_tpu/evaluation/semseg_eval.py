@@ -106,6 +106,7 @@ def make_sliding_window_fn(
     overlap: float = 1.0 / 3.0,
     flip: bool = True,
     tile_batch: Optional[int] = None,
+    fuse: bool = True,
 ) -> Callable:
     """Build a fully-jitted sliding-window predictor.
 
@@ -124,6 +125,14 @@ def make_sliding_window_fn(
     offsets = [(y, x) for y in ys for x in xs]
     n_tiles = len(offsets)
     chunk = tile_batch or n_tiles
+
+    if not fuse:
+        # Three small XLA programs instead of one monolith: tile-extract,
+        # model forward (the only heavy compile — reused executable), and
+        # overlap-add.  Use when the compile service caps program size.
+        return _make_sliding_window_split(
+            forward, (h, w), (th, tw), offsets, num_classes, flip
+        )
 
     @jax.jit
     def predict(rgb: jax.Array, dte: jax.Array) -> jax.Array:
@@ -193,6 +202,73 @@ def make_sliding_window_fn(
             )
         total = total / count[None]
         return total[:, :h, :w]
+
+    return predict
+
+
+def _make_sliding_window_split(
+    forward: Callable,
+    image_size: Tuple[int, int],
+    tile_size: Tuple[int, int],
+    offsets,
+    num_classes: int,
+    flip: bool,
+) -> Callable:
+    h, w = image_size
+    th, tw = tile_size
+    n_tiles = len(offsets)
+    pad_h, pad_w = max(0, th - h), max(0, tw - w)
+
+    @jax.jit
+    def extract(rgb, dte):
+        if pad_h or pad_w:
+            cfg = ((0, 0), (0, pad_h), (0, pad_w), (0, 0))
+            rgb = jnp.pad(rgb, cfg)
+            dte = jnp.pad(dte, cfg)
+        b = rgb.shape[0]
+        tr = jnp.stack(
+            [rgb[:, y : y + th, x : x + tw] for (y, x) in offsets], 0
+        ).reshape(n_tiles * b, th, tw, rgb.shape[-1])
+        td = jnp.stack(
+            [dte[:, y : y + th, x : x + tw] for (y, x) in offsets], 0
+        ).reshape(n_tiles * b, th, tw, dte.shape[-1])
+        if flip:
+            tr = jnp.concatenate([tr, tr[:, :, ::-1]], 0)
+            td = jnp.concatenate([td, td[:, :, ::-1]], 0)
+        return tr, td
+
+    @jax.jit
+    def accumulate(logits):
+        total_rows = logits.shape[0] // (2 if flip else 1)
+        b = total_rows // n_tiles
+        m = n_tiles * b
+        if flip:
+            logits = logits[:m] + logits[m:, :, ::-1]
+        logits = logits.reshape(n_tiles, b, th, tw, num_classes).astype(
+            jnp.float32
+        )
+        total = jnp.zeros((b, h + pad_h, w + pad_w, num_classes), jnp.float32)
+        count = jnp.zeros((h + pad_h, w + pad_w, 1), jnp.float32)
+        for i, (y, x) in enumerate(offsets):
+            total = jax.lax.dynamic_update_slice(
+                total,
+                jax.lax.dynamic_slice(
+                    total, (0, y, x, 0), (b, th, tw, num_classes)
+                )
+                + logits[i],
+                (0, y, x, 0),
+            )
+            count = jax.lax.dynamic_update_slice(
+                count,
+                jax.lax.dynamic_slice(count, (y, x, 0), (th, tw, 1)) + 1.0,
+                (y, x, 0),
+            )
+        return (total / count[None])[:, :h, :w]
+
+    def predict(rgb, dte):
+        tr, td = extract(rgb, dte)
+        logits = forward(tr, td)
+        return accumulate(logits)
 
     return predict
 

@@ -1,0 +1,196 @@
+"""Detection stack tests: box ops vs torchvision-formula references,
+matcher, criterion sanity, CDN static layout, and a full teacher-student
+train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from ir_ads_tpu.detection.box_ops import (
+    box_cxcywh_to_xyxy,
+    box_iou,
+    generalized_box_iou,
+)
+from ir_ads_tpu.detection.cdn import cdn_groups, generate_cdn_queries, make_cdn_attn_mask
+from ir_ads_tpu.detection.criterion import (
+    dn_criterion,
+    set_criterion,
+    sigmoid_focal_loss,
+)
+from ir_ads_tpu.detection.matcher import hungarian_match, match_cost
+
+
+def _torch_giou(a, b):
+    # independent reference (DETR generalized_box_iou formula)
+    area1 = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area2 = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    lt = torch.max(a[:, None, :2], b[None, :, :2])
+    rb = torch.min(a[:, None, 2:], b[None, :, 2:])
+    wh = (rb - lt).clamp(min=0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area1[:, None] + area2[None] - inter
+    iou = inter / union
+    lt = torch.min(a[:, None, :2], b[None, :, :2])
+    rb = torch.max(a[:, None, 2:], b[None, :, 2:])
+    wh = (rb - lt).clamp(min=0)
+    area = wh[..., 0] * wh[..., 1]
+    return iou - (area - union) / area
+
+
+def test_giou_matches_reference():
+    rng = np.random.RandomState(0)
+    a = rng.rand(5, 4).astype(np.float32)
+    a[:, 2:] += a[:, :2]  # valid xyxy
+    b = rng.rand(7, 4).astype(np.float32)
+    b[:, 2:] += b[:, :2]
+    ours = generalized_box_iou(jnp.asarray(a), jnp.asarray(b))
+    ref = _torch_giou(torch.from_numpy(a), torch.from_numpy(b))
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
+
+
+def test_focal_loss_matches_torchvision_formula():
+    rng = np.random.RandomState(1)
+    logits = rng.randn(4, 6).astype(np.float32)
+    targets = (rng.rand(4, 6) > 0.7).astype(np.float32)
+    ours = sigmoid_focal_loss(jnp.asarray(logits), jnp.asarray(targets))
+    lt, tt = torch.from_numpy(logits), torch.from_numpy(targets)
+    p = torch.sigmoid(lt)
+    ce = torch.nn.functional.binary_cross_entropy_with_logits(
+        lt, tt, reduction="none"
+    )
+    p_t = p * tt + (1 - p) * (1 - tt)
+    ref = ce * ((1 - p_t) ** 2)
+    alpha_t = 0.25 * tt + 0.75 * (1 - tt)
+    ref = alpha_t * ref
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-6)
+
+
+def test_hungarian_matches_scipy_direct():
+    from scipy.optimize import linear_sum_assignment
+
+    rng = np.random.RandomState(2)
+    cost = rng.rand(2, 8, 3).astype(np.float32)
+    q_idx, g_idx = jax.jit(hungarian_match)(jnp.asarray(cost))
+    for b in range(2):
+        r, c = linear_sum_assignment(cost[b])
+        expected = {cc: rr for rr, cc in zip(r, c)}
+        for g in range(3):
+            assert int(q_idx[b, g]) == expected[int(g_idx[b, g])]
+
+
+def test_set_criterion_perfect_predictions_low_loss():
+    """Predictions exactly on GT should cost less than random ones."""
+    b, q, g, c = 1, 6, 2, 4
+    gt_labels = jnp.asarray([[1, 2]])
+    gt_boxes = jnp.asarray([[[0.3, 0.3, 0.2, 0.2], [0.7, 0.7, 0.2, 0.2]]])
+    gt_valid = jnp.ones((1, 2), bool)
+
+    good_logits = jnp.full((b, q, c), -10.0)
+    good_logits = good_logits.at[0, 0, 1].set(10.0).at[0, 1, 2].set(10.0)
+    good_boxes = jnp.tile(jnp.asarray([[0.5, 0.5, 0.1, 0.1]]), (q, 1))[None]
+    good_boxes = good_boxes.at[0, 0].set(gt_boxes[0, 0]).at[0, 1].set(
+        gt_boxes[0, 1]
+    )
+    good = set_criterion(good_logits, good_boxes, gt_labels, gt_boxes, gt_valid)
+
+    bad_logits = jnp.zeros((b, q, c))
+    bad_boxes = jnp.full((b, q, 4), 0.25)
+    bad = set_criterion(bad_logits, bad_boxes, gt_labels, gt_boxes, gt_valid)
+    assert sum(good.values()) < sum(bad.values())
+    assert float(good["loss_bbox"]) < 1e-5
+    assert float(good["loss_giou"]) < 1e-5
+
+
+def test_cdn_layout_and_mask():
+    g, groups, nq = 3, 2, 5
+    mask = make_cdn_attn_mask(g, groups, nq)
+    pad = 2 * g * groups
+    assert mask.shape == (pad + nq, pad + nq)
+    # matching queries can't see dn queries
+    assert mask[pad:, :pad].all()
+    # matching queries see each other
+    assert not mask[pad:, pad:].any()
+    # group 0 can't see group 1 and vice versa
+    assert bool(mask[0, 2 * g])
+    assert bool(mask[2 * g, 0])
+    # within-group visible
+    assert not mask[:2 * g, :2 * g].any()
+
+    labels = jnp.asarray([[0, 1, 2]])
+    boxes = jnp.full((1, 3, 4), 0.5)
+    valid = jnp.asarray([[True, True, False]])
+    table = jnp.arange(4 * 8, dtype=jnp.float32).reshape(4, 8)
+    q, r = generate_cdn_queries(
+        labels, boxes, valid, table, jax.random.PRNGKey(0), groups,
+        label_noise_ratio=0.0, box_noise_scale=0.0, num_classes=4,
+    )
+    assert q.shape == (1, pad, 8)
+    assert r.shape == (1, pad, 4)
+    # invalid slot zeroed
+    np.testing.assert_array_equal(np.asarray(q[0, 2]), 0)
+    # no noise: positive refs = inverse_sigmoid(0.5) = 0
+    np.testing.assert_allclose(np.asarray(r[0, 0]), 0.0, atol=1e-6)
+
+
+def test_dn_criterion_positive_recovery():
+    b, g, groups, c = 1, 2, 1, 4
+    gt_labels = jnp.asarray([[1, 3]])
+    gt_boxes = jnp.asarray([[[0.3, 0.3, 0.2, 0.2], [0.6, 0.6, 0.3, 0.3]]])
+    gt_valid = jnp.ones((1, 2), bool)
+    # perfect positive predictions, background negatives
+    logits = jnp.full((b, 2 * g * groups, c), -10.0)
+    logits = logits.at[0, 0, 1].set(10.0).at[0, 1, 3].set(10.0)
+    boxes = jnp.concatenate([gt_boxes, jnp.full((1, 2, 4), 0.1)], axis=1)
+    losses = dn_criterion(logits, boxes, gt_labels, gt_boxes, gt_valid, groups)
+    assert float(losses["loss_bbox_dn"]) < 1e-5
+    assert float(losses["loss_class_dn"]) < 1e-3
+
+
+def test_detection_train_step_end_to_end():
+    from ir_ads_tpu.detection.dino import DINODetector
+    from ir_ads_tpu.detection.train import (
+        DetTrainState,
+        detection_optimizer,
+        make_detection_train_step,
+    )
+
+    m = DINODetector(
+        num_classes=6, num_queries=12, embed_dim=32,
+        num_encoder_layers=1, num_decoder_layers=2, num_levels=3,
+        backbone_arch="resnet18", dn_number=8, max_gt=3,
+    )
+    b, h, w = 2, 64, 64
+    imgs = jnp.ones((b, h, w, 3)) * 127.0
+    labels = jnp.asarray([[1, 2, 0], [3, 0, 0]], jnp.int32)
+    boxes = jnp.clip(
+        jax.random.uniform(jax.random.PRNGKey(0), (b, 3, 4)) * 0.4 + 0.3, 0.1, 0.9
+    )
+    valid = jnp.asarray([[1, 1, 0], [1, 0, 0]], bool)
+    masks = (
+        jax.random.uniform(jax.random.PRNGKey(1), (b, 3, 16, 16)) > 0.5
+    ).astype(jnp.float32)
+
+    variables = m.init(
+        {"params": jax.random.PRNGKey(0), "cdn": jax.random.PRNGKey(1)},
+        imgs, labels, boxes, valid, train=True,
+    )
+    tx = detection_optimizer(variables["params"], total_steps=100)
+    state = DetTrainState.create(
+        m.apply, variables["params"], variables["batch_stats"], tx
+    )
+    step = jax.jit(make_detection_train_step(use_teacher=True))
+    batch = (imgs, imgs, labels, boxes, valid, masks)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(7))
+    assert np.isfinite(float(metrics["loss"])), metrics
+    assert int(new_state.step) == 1
+    # EMA moved toward params
+    d_before = jax.tree.leaves(
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     state.ema_params, state.params)
+    )
+    d_after = jax.tree.leaves(
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     new_state.ema_params, new_state.params)
+    )
+    assert sum(d_after) > 0  # ema lags params after update
