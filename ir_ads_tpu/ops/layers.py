@@ -48,7 +48,7 @@ def drop_path(
     rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Stochastic depth on the leading (batch) axis."""
-    if deterministic or rate == 0.0:
+    if deterministic or (isinstance(rate, float) and rate == 0.0):
         return x
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
@@ -89,6 +89,7 @@ class Mlp(nn.Module):
         x: jax.Array,
         identity: Optional[jax.Array] = None,
         deterministic: bool = True,
+        drop_path_override: Optional[jax.Array] = None,
     ) -> jax.Array:
         out_dim = self.out_dim or x.shape[-1]
         h = nn.Dense(
@@ -104,7 +105,14 @@ class Mlp(nn.Module):
             return h
         if identity is None:
             identity = x
-        h = DropPath(self.drop_path_rate)(h, deterministic=deterministic)
+        if drop_path_override is not None:
+            # traced per-block rate (scan-over-blocks path)
+            if not deterministic:
+                h = drop_path(
+                    h, drop_path_override, False, self.make_rng("dropout")
+                )
+        else:
+            h = DropPath(self.drop_path_rate)(h, deterministic=deterministic)
         return identity + h
 
 

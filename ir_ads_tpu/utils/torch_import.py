@@ -217,12 +217,25 @@ def import_cmnext_state_dict(
                 if (m := re.match(re.escape(pre) + rf"stages\.{i}\.blocks\.(\d+)\.", k))
             }
         )
-        for j in block_ids:
-            assign(
-                params,
-                [bb, f"stages_{i}", f"blocks_{j}"],
-                _swin_block(sd, f"{pre}stages.{i}.blocks.{j}"),
-            )
+        stage_params = params.get(bb, {}).get(f"stages_{i}", {})
+        if "pairs" in stage_params:
+            # scanned stage: stack per-block torch weights along axis 0
+            # (pair index); even blocks -> block0, odd -> block1
+            blocks = [
+                _swin_block(sd, f"{pre}stages.{i}.blocks.{j}")
+                for j in block_ids
+            ]
+            for slot, parity in (("block0", 0), ("block1", 1)):
+                group = [blocks[j] for j in block_ids if j % 2 == parity]
+                stacked = jax.tree.map(lambda *xs: np.stack(xs, 0), *group)
+                assign(params, [bb, f"stages_{i}", "pairs", slot], stacked)
+        else:
+            for j in block_ids:
+                assign(
+                    params,
+                    [bb, f"stages_{i}", f"blocks_{j}"],
+                    _swin_block(sd, f"{pre}stages.{i}.blocks.{j}"),
+                )
         if f"{pre}stages.{i}.downsample.reduction.weight" in sd:
             assign(
                 params,

@@ -16,9 +16,10 @@ from ir_ads_tpu.models.cmnext import CMNeXt
 from ir_ads_tpu.utils.torch_import import import_cmnext_state_dict
 from tests.utils.torch_swin_ref import CMNeXtRef
 
+# depth-4 stage exercises the scan-over-block-pairs path + stacked import
 TINY = dict(
     embed_dim=16,
-    depths=(1, 2, 1, 1),
+    depths=(1, 4, 1, 1),
     num_heads=(1, 2, 4, 8),
     window_size=4,
     drop_path_rate=0.0,
@@ -39,7 +40,7 @@ def _rand_init_torch(model: torch.nn.Module, seed=0):
 
 def test_cmnext_parity_with_torch_reference():
     tref = CMNeXtRef(
-        embed_dim=16, depths=(1, 2, 1, 1), heads=(1, 2, 4, 8), ws=4,
+        embed_dim=16, depths=(1, 4, 1, 1), heads=(1, 2, 4, 8), ws=4,
         num_classes=5, head_dims=(32, 16),
     )
     _rand_init_torch(tref)
