@@ -302,6 +302,68 @@ class DeepCrack(SegDataset):
         return sample
 
 
+class MCubeS(SegDataset):
+    """MCubeS multimodal material segmentation: RGB + AoLP + DoLP + NIR,
+    20 classes (reference mcubes.py:20-130).
+
+    Layout: <root>/{polL_color,polL_aolp_sin,polL_aolp_cos,polL_dolp,
+    NIR_warped,GT}/<name>.{png,npy}; split lists in list_folder/{train,val}.txt.
+    16-bit images normalized to /65535; a 192-px left crop removes the
+    polarimeter calibration strip (reference _left_offset).  The reference's
+    hardcoded 4-file debug list (mcubes.py:71-73) is NOT replicated.
+    """
+
+    CLASSES = [
+        "asphalt", "concrete", "metal", "road_marking", "fabric", "glass",
+        "plaster", "plastic", "rubber", "sand", "gravel", "ceramic",
+        "cobblestone", "brick", "grass", "wood", "leaf", "water", "human",
+        "sky",
+    ]
+    LEFT_OFFSET = 192
+
+    def _list_files(self):
+        for cand in (
+            os.path.join(self.root, "list_folder", f"{self.split}.txt"),
+            os.path.join(self.root, f"{self.split}.txt"),
+        ):
+            if os.path.exists(cand):
+                return _read_split_file(cand)
+        return []
+
+    def _read16(self, path):
+        img = np.asarray(Image.open(path))
+        if img.dtype == np.uint16:
+            return (img.astype(np.float32) / 65535.0 * 255.0).astype(np.uint8)
+        return img.astype(np.uint8)
+
+    def _load(self, index):
+        name = self.files[index]
+        lo = self.LEFT_OFFSET
+        rgb = self._read16(os.path.join(self.root, "polL_color", name + ".png"))
+        if rgb.ndim == 2:
+            rgb = np.stack([rgb] * 3, -1)
+        sample = {"img": rgb[:, lo:]}
+        if "aolp" in self.modals:
+            s = np.load(os.path.join(self.root, "polL_aolp_sin", name + ".npy"))
+            c = np.load(os.path.join(self.root, "polL_aolp_cos", name + ".npy"))
+            aolp = np.stack([s, c, s], axis=-1)
+            sample["aolp"] = np.clip(
+                (aolp * 0.5 + 0.5) * 255, 0, 255
+            ).astype(np.uint8)[:, lo:]
+        if "dolp" in self.modals:
+            d = np.load(os.path.join(self.root, "polL_dolp", name + ".npy"))
+            dolp = np.stack([d, d, d], axis=-1)
+            sample["dolp"] = np.clip(dolp * 255, 0, 255).astype(np.uint8)[:, lo:]
+        if "nir" in self.modals:
+            nir = self._read16(os.path.join(self.root, "NIR_warped", name + ".png"))
+            if nir.ndim == 2:
+                nir = np.stack([nir] * 3, -1)
+            sample["nir"] = nir[:, lo:]
+        lbl = _read_label(os.path.join(self.root, "GT", name + ".png"))
+        sample["mask"] = lbl[:, lo:]
+        return sample
+
+
 class Synthetic(SegDataset):
     """Deterministic random dataset for tests/benchmarks — no files needed.
 
@@ -340,6 +402,7 @@ DATASETS = {
     "MFNet": MFNet,
     "PST": PST,
     "DELIVER": DELIVER,
+    "MCubeS": MCubeS,
     "DeepCrack": DeepCrack,
     "Synthetic": Synthetic,
 }

@@ -101,7 +101,8 @@ def main(cfg, save_dir: Path):
     logger.info(f"model {model_cfg['BACKBONE']}: {n_params/1e6:.1f}M params")
 
     best_miou, best_epoch, start_epoch = 0.0, 0, 0
-    resume = model_cfg.get("RESUME", "")
+    # IR_ADS_RESUME: set by tools/launch.py on auto-requeue
+    resume = os.environ.get("IR_ADS_RESUME", "") or model_cfg.get("RESUME", "")
     if resume and os.path.isdir(resume):
         state, manifest = load_checkpoint(resume, state)
         best_miou = manifest.get("best_miou", 0.0)
