@@ -142,10 +142,14 @@ class ShiftWindowMSA(nn.Module):
         mask = region = None
         if shift > 0:
             x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
-            if self.attn_impl == "pallas":
-                region = jnp.asarray(shift_region_ids(hp, wp, ws, shift))
-            else:
-                mask = jnp.asarray(shift_window_mask(hp, wp, ws, shift))
+            # embed only the (nW, N) int32 region ids as a program constant
+            # and expand the dense (nW, N, N) mask on device — the dense
+            # version baked ~10MB of constants into the HLO at 480p
+            region = jnp.asarray(shift_region_ids(hp, wp, ws, shift))
+            if self.attn_impl != "pallas":
+                neq = region[:, :, None] != region[:, None, :]
+                mask = jnp.where(neq, -100.0, 0.0).astype(jnp.float32)
+                region = None
 
         wins = window_partition(x, ws)  # (B*nW, N, C)
         wins = WindowMSA(
