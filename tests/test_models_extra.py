@@ -106,3 +106,19 @@ def test_legacy_model_wrapper():
     v = m.init({"params": jax.random.PRNGKey(0)}, rgb, dte)
     y, y_rgb, y_dte = m.apply(v, rgb, dte)
     assert y.shape == (1, 64, 64, 5)
+
+
+@pytest.mark.parametrize("head_name", ["sfnet", "fapn", "lawin"])
+def test_alignment_heads(pyramid, head_name):
+    from ir_ads_tpu.models.heads.align_heads import FaPNHead, LawinHead, SFHead
+
+    heads = {
+        "sfnet": SFHead(channel=32, num_classes=7),
+        "fapn": FaPNHead(channel=32, num_classes=7),
+        "lawin": LawinHead(embed_dim=32, num_classes=7, patch=4),
+    }
+    head = heads[head_name]
+    variables = head.init({"params": jax.random.PRNGKey(0)}, pyramid)
+    out = head.apply(variables, pyramid)
+    assert out.shape == (2, 16, 16, 7)
+    assert bool(jnp.isfinite(out).all())
