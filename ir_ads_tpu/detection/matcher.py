@@ -84,3 +84,34 @@ def match_cost(
     )
     cost = cost_class * cls_cost + cost_bbox * bbox_cost + cost_giou * giou_cost
     return jnp.where(gt_valid[:, None, :], cost, 1e8)
+
+
+def dynamic_k_match(
+    cost: jax.Array,  # (B, Q, G)
+    ious: jax.Array,  # (B, Q, G) pred-gt IoUs
+    gt_valid: jax.Array,  # (B, G)
+    max_k: int = 10,
+) -> jax.Array:
+    """SimOTA-style dynamic-k assignment (reference
+    HungarianMatcherDynamicK, DynamicKMatcher.py:6-204, unused there but
+    shipped).  Each GT takes its dynamic_k = clip(round(sum of its top-10
+    IoUs)) lowest-cost queries; query conflicts resolve to the
+    lowest-cost GT.  Returns a (B, Q, G) bool assignment matrix."""
+
+    def per_image(c, iou, gv):
+        q, g = c.shape
+        topk_iou = jax.lax.top_k(iou.T, min(max_k, q))[0]  # (G, k)
+        dynamic_k = jnp.clip(
+            jnp.round(topk_iou.sum(-1)).astype(jnp.int32), 1, max_k
+        )
+        # rank queries per gt by ascending cost
+        order = jnp.argsort(c.T, axis=-1)  # (G, Q)
+        ranks = jnp.argsort(order, axis=-1)  # rank of each query per gt
+        assign = (ranks < dynamic_k[:, None]) & gv[:, None]  # (G, Q)
+        assign = assign.T  # (Q, G)
+        # resolve conflicts: a query matched to >1 gt keeps the cheapest
+        best_gt = jnp.argmin(jnp.where(assign, c, 1e9), axis=-1)
+        only_best = jax.nn.one_hot(best_gt, g, dtype=bool)
+        return assign & only_best
+
+    return jax.vmap(per_image)(cost, ious, gt_valid)

@@ -194,3 +194,22 @@ def test_detection_train_step_end_to_end():
                      new_state.ema_params, new_state.params)
     )
     assert sum(d_after) > 0  # ema lags params after update
+
+
+def test_dynamic_k_match():
+    from ir_ads_tpu.detection.matcher import dynamic_k_match
+
+    q, g = 8, 2
+    # gt0: queries 0,1 overlap well; gt1: queries 4,5
+    ious = np.zeros((1, q, g), np.float32)
+    ious[0, 0, 0] = ious[0, 1, 0] = 0.8
+    ious[0, 4, 1] = ious[0, 5, 1] = 0.9
+    cost = 1.0 - ious
+    valid = jnp.asarray([[True, True]])
+    assign = dynamic_k_match(jnp.asarray(cost), jnp.asarray(ious), valid)
+    a = np.asarray(assign[0])
+    # each assigned query maps to exactly one gt
+    assert (a.sum(-1) <= 1).all()
+    # the high-iou queries are assigned to their gts
+    assert a[0, 0] and a[1, 0]
+    assert a[4, 1] and a[5, 1]
