@@ -213,3 +213,36 @@ def test_dynamic_k_match():
     # the high-iou queries are assigned to their gts
     assert a[0, 0] and a[1, 0]
     assert a[4, 1] and a[5, 1]
+
+
+def test_samplers():
+    from ir_ads_tpu.detection.samplers import (
+        aspect_ratio_group_stream,
+        inference_sampler,
+        repeat_factor_sampler,
+        repeat_factors_from_category_frequency,
+        training_sampler,
+    )
+    import itertools
+
+    s = training_sampler(10, seed=1, shard_idx=0, num_shards=2)
+    first = list(itertools.islice(s, 10))
+    assert len(first) == 10 and all(0 <= i < 10 for i in first)
+
+    anns = [[0], [0], [0, 1], [], [0]]  # class 1 rare
+    rf = repeat_factors_from_category_frequency(anns, 5, repeat_thresh=0.5)
+    assert rf[2] > rf[0] >= 1.0
+
+    stream = repeat_factor_sampler(rf, seed=0)
+    batch = list(itertools.islice(stream, 50))
+    # the rare-class image appears more often than a common one
+    assert batch.count(2) >= batch.count(0)
+
+    assert list(inference_sampler(10, 1, 2)) == [5, 6, 7, 8, 9]
+
+    wide = [True, False, True, False, True, True]
+    groups = list(
+        aspect_ratio_group_stream(iter(range(6)), wide, batch_size=2)
+    )
+    for g in groups:
+        assert len({wide[i] for i in g}) == 1
