@@ -54,9 +54,14 @@ def main():
     init_s = time.time() - t0
 
     @jax.jit
-    def forward(r, d):
-        y, _, _ = model.apply(variables, r, d, train=False)
+    def _forward(v, r, d):
+        y, _, _ = model.apply(v, r, d, train=False)
         return y
+
+    def forward(r, d):
+        # params as runtime args: a closure would embed ~180M params as
+        # HLO constants (hundreds of MB -> remote-compile 413)
+        return _forward(variables, r, d)
 
     predict = make_sliding_window_fn(
         forward, IMAGE, TILE, NUM_CLASSES, overlap=1.0 / 3.0, flip=True,

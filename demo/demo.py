@@ -50,14 +50,14 @@ def build(args):
         )
 
     @jax.jit
-    def infer(img):
+    def _infer(variables, img):
         out = model.apply(variables, img, train=False)
         scores = jax.nn.sigmoid(out["pred_logits"][-1].astype(jnp.float32))
         cls = scores.argmax(-1)
         s, xyxy, keep = nms_topk(scores.max(-1), out["pred_boxes"][-1], topk=100)
         return s, xyxy, keep, cls
 
-    return infer
+    return lambda img: _infer(variables, img)
 
 
 def draw(img: np.ndarray, boxes, scores, keep, thresh) -> np.ndarray:

@@ -56,11 +56,12 @@ class SemSeg:
         )
 
         @jax.jit
-        def forward(rgb, dte):
-            y, _, _ = self.model.apply(self.variables, rgb, dte, train=False)
+        def forward(variables, rgb, dte):
+            y, _, _ = self.model.apply(variables, rgb, dte, train=False)
             return y
 
-        self._forward = forward
+        # params as jit args (closure would embed them as HLO constants)
+        self._forward = lambda rgb, dte: forward(self.variables, rgb, dte)
 
     def preprocess(self, img: np.ndarray) -> np.ndarray:
         h, w = img.shape[:2]

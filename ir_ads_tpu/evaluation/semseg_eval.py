@@ -27,14 +27,18 @@ from ir_ads_tpu.ops.layers import resize_bilinear
 
 
 def make_forward_fn(model, variables) -> Callable:
-    """Jitted eval forward: (rgb, dte) -> fused-head logits (B, H, W, C)."""
+    """Jitted eval forward: (rgb, dte) -> fused-head logits (B, H, W, C).
+
+    CRITICAL: variables are passed as jit ARGUMENTS, not captured — a
+    closure would embed every parameter as an HLO constant (hundreds of MB
+    for Swin-B), blowing compile time and remote-compile payload caps."""
 
     @jax.jit
-    def forward(rgb, dte):
+    def _forward(variables, rgb, dte):
         y, _, _ = model.apply(variables, rgb, dte, train=False)
         return y
 
-    return forward
+    return lambda rgb, dte: _forward(variables, rgb, dte)
 
 
 def align32(v: float) -> int:
@@ -55,37 +59,40 @@ def msf_logits(
     """
     b, h, w, _ = rgb.shape
 
+    # pre/post stay model-free jits; the model forward runs between them so
+    # its parameters travel as runtime arguments, never as HLO constants.
     @functools.lru_cache(maxsize=None)
-    def scale_step(nh: int, nw: int):
+    def pre_step(nh: int, nw: int):
         @jax.jit
-        def step(rgb, dte, acc):
-            m = rgb.shape[0]
+        def pre(rgb, dte):
             srgb = resize_bilinear(rgb, (nh, nw), align_corners=True)
             sdte = resize_bilinear(dte, (nh, nw), align_corners=True)
-            if flip:  # one forward instance (see make_sliding_window_fn.run)
+            if flip:  # one forward instance per scale via batch doubling
                 srgb = jnp.concatenate([srgb, srgb[:, :, ::-1]], axis=0)
                 sdte = jnp.concatenate([sdte, sdte[:, :, ::-1]], axis=0)
-            logits = forward(srgb, sdte)
-            if flip:
-                logits = jnp.concatenate(
-                    [logits[:m], logits[m:, :, ::-1]], axis=0
-                )
-            logits = resize_bilinear(logits, (h, w), align_corners=True)
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-            if flip:
-                probs = probs[:m] + probs[m:]
-            return acc + probs
+            return srgb, sdte
 
-        return step
+        return pre
+
+    @jax.jit
+    def post(logits, acc):
+        m = logits.shape[0] // 2 if flip else logits.shape[0]
+        if flip:
+            logits = jnp.concatenate([logits[:m], logits[m:, :, ::-1]], 0)
+        logits = resize_bilinear(logits, (h, w), align_corners=True)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        if flip:
+            probs = probs[:m] + probs[m:]
+        return acc + probs
 
     acc = None
     for s in scales:
         nh, nw = align32(s * h), align32(s * w)
-        step = scale_step(nh, nw)
+        srgb, sdte = pre_step(nh, nw)(rgb, dte)
+        logits = forward(srgb, sdte)
         if acc is None:
-            nc_probe = jax.eval_shape(forward, rgb, dte).shape[-1]
-            acc = jnp.zeros((b, h, w, nc_probe), jnp.float32)
-        acc = step(rgb, dte, acc)
+            acc = jnp.zeros((b, h, w, logits.shape[-1]), jnp.float32)
+        acc = post(logits, acc)
     return acc
 
 
@@ -106,13 +113,19 @@ def make_sliding_window_fn(
     overlap: float = 1.0 / 3.0,
     flip: bool = True,
     tile_batch: Optional[int] = None,
-    fuse: bool = True,
+    fuse: bool = False,
 ) -> Callable:
     """Build a fully-jitted sliding-window predictor.
 
     All tiles are gathered into a (T*B, th, tw, C) batch, run through the
-    model in chunks of ``tile_batch`` tiles, and overlap-added back — one XLA
-    program, zero host round-trips per tile (contrast val_mm.py:44-62).
+    model in chunks of ``tile_batch`` tiles, and overlap-added back with zero
+    host round-trips per tile (contrast val_mm.py:44-62).
+
+    Default ``fuse=False`` = three small XLA programs (extract / forward /
+    overlap-add): the model forward keeps its parameters as runtime
+    arguments.  ``fuse=True`` inlines ``forward`` into one program — only
+    safe when ``forward`` captures little state (it embeds captured arrays
+    as HLO constants).
 
     Returns fn(rgb, dte) -> (B, H, W, num_classes) accumulated logits.
     """

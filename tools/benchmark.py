@@ -47,8 +47,11 @@ def bench_eval(cfg, iters, batch):
     )()
 
     @jax.jit
+    def _fwd(v, r, d):
+        return model.apply(v, r, d, train=False)[0]
+
     def fwd(r, d):
-        return model.apply(variables, r, d, train=False)[0]
+        return _fwd(variables, r, d)
 
     fwd(rgb, rgb).block_until_ready()
     t0 = time.time()

@@ -85,7 +85,7 @@ def evaluate_detector(model, variables, mapper, logger, topk=300,
     """Run inference over the dataset and summarize COCO metrics."""
 
     @jax.jit
-    def infer(imgs):
+    def _infer(variables, imgs):
         out = model.apply(variables, imgs, train=False)
         logits = out["pred_logits"][-1].astype(jnp.float32)
         boxes = out["pred_boxes"][-1]
@@ -97,6 +97,9 @@ def evaluate_detector(model, variables, mapper, logger, topk=300,
             -jnp.where(keep, s, -1.0), axis=1
         )
         return s, xyxy, keep, cls_ids, order
+
+    def infer(imgs):
+        return _infer(variables, imgs)
 
     ev = COCOEvaluator(class_agnostic=class_agnostic)
     rng = np.random.default_rng(0)
