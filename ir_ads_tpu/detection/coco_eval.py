@@ -170,11 +170,30 @@ def match_image_py(ious, gt_ignore, gt_crowd, thrs=IOU_THRS):
     return dtm, gtm, dti
 
 
+def mask_iou(
+    pred: np.ndarray, gt: np.ndarray, iscrowd: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """Dense binary mask IoU: pred (D, H, W), gt (G, H, W) -> (D, G).
+    Vectorized as one matmul over flattened masks (pycocotools maskUtils.iou
+    semantics incl. the crowd convention)."""
+    d = pred.reshape(len(pred), -1).astype(np.float64)
+    g = gt.reshape(len(gt), -1).astype(np.float64)
+    inter = d @ g.T
+    d_area = d.sum(-1)[:, None]
+    g_area = g.sum(-1)[None]
+    union = d_area + g_area - inter
+    if iscrowd is not None:
+        union = np.where(iscrowd[None].astype(bool), d_area, union)
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+
 class COCOEvaluator:
     """Streaming evaluator.  Feed per-image predictions + GT, then
     summarize() -> dict of AP/AR metrics incl. the custom AR@k set.
 
-    Predictions/GT boxes are COCO xywh absolute pixels."""
+    Predictions/GT boxes are COCO xywh absolute pixels.  Pass dense binary
+    masks (any common resolution) to ``add_image`` for segm metrics
+    (iou_type='segm' summarized alongside bbox)."""
 
     def __init__(
         self,
@@ -185,9 +204,10 @@ class COCOEvaluator:
         self.iou_thrs = np.asarray(iou_thrs)
         self.max_dets = tuple(max_dets)
         self.class_agnostic = class_agnostic
-        # per (category, area_range): lists over images
-        self._results: Dict[Tuple[int, str], List[dict]] = {}
+        # per (iou_type, category, area_range): lists over images
+        self._results: Dict[Tuple[str, int, str], List[dict]] = {}
         self._cats: set = set()
+        self._has_masks = False
 
     def add_image(
         self,
@@ -197,12 +217,16 @@ class COCOEvaluator:
         gt_boxes: np.ndarray,  # (G, 4) xywh
         gt_labels: np.ndarray,
         gt_crowd: Optional[np.ndarray] = None,
+        pred_masks: Optional[np.ndarray] = None,  # (D, H, W) binary
+        gt_masks: Optional[np.ndarray] = None,  # (G, H, W) binary
     ) -> None:
         if gt_crowd is None:
             gt_crowd = np.zeros(len(gt_boxes), bool)
         if self.class_agnostic:
             pred_labels = np.zeros_like(pred_labels)
             gt_labels = np.zeros_like(gt_labels)
+        use_masks = pred_masks is not None and gt_masks is not None
+        self._has_masks |= use_masks
         cats = set(np.unique(gt_labels).tolist()) | set(
             np.unique(pred_labels).tolist()
         )
@@ -219,6 +243,7 @@ class COCOEvaluator:
             gc = gt_crowd[g_sel]
             g_area = gb[:, 2] * gb[:, 3] if len(gb) else np.zeros(0)
             d_area = db[:, 2] * db[:, 3] if len(db) else np.zeros(0)
+            iou_tables = {}
             for aname, (lo, hi) in AREA_RANGES.items():
                 g_ignore = gc | (g_area < lo) | (g_area > hi)
                 # sort gts: unignored first (pycocotools)
@@ -226,23 +251,29 @@ class COCOEvaluator:
                 gb_s = gb[g_order]
                 gi_s = g_ignore[g_order]
                 gc_s = gc[g_order]
-                ious = bbox_iou_xywh(db, gb_s, gc_s)
-                dtm, gtm, dti = match_image(ious, gi_s, gc_s, self.iou_thrs)
-                # unmatched detections outside the area range are ignored
-                out_of_range = (d_area < lo) | (d_area > hi)
-                dti = dti | ((dtm == 0) & out_of_range[None, :])
-                self._results.setdefault((int(cat), aname), []).append(
-                    dict(
-                        scores=ds,
-                        dtm=dtm,
-                        dti=dti,
-                        n_gt=int((~gi_s).sum()),
+                iou_tables["bbox"] = bbox_iou_xywh(db, gb_s, gc_s)
+                if use_masks:
+                    iou_tables["segm"] = mask_iou(
+                        pred_masks[d_sel][order], gt_masks[g_sel][g_order], gc_s
                     )
-                )
+                out_of_range = (d_area < lo) | (d_area > hi)
+                for iou_type, ious in iou_tables.items():
+                    dtm, gtm, dti = match_image(
+                        ious, gi_s, gc_s, self.iou_thrs
+                    )
+                    # unmatched detections outside the area range are ignored
+                    dti2 = dti | ((dtm == 0) & out_of_range[None, :])
+                    self._results.setdefault(
+                        (iou_type, int(cat), aname), []
+                    ).append(
+                        dict(scores=ds, dtm=dtm, dti=dti2,
+                             n_gt=int((~gi_s).sum()))
+                    )
 
-    def _accumulate(self, cat: int, aname: str, max_det: int):
+    def _accumulate(self, cat: int, aname: str, max_det: int,
+                    iou_type: str = "bbox"):
         """-> (precision (T, R), recall (T,)) or None if no GT."""
-        entries = self._results.get((cat, aname), [])
+        entries = self._results.get((iou_type, cat, aname), [])
         if not entries:
             return None
         scores = np.concatenate([e["scores"][:max_det] for e in entries])
@@ -276,10 +307,10 @@ class COCOEvaluator:
     def summarize(self) -> Dict[str, float]:
         cats = sorted(self._cats)
 
-        def mean_ap(aname="all", max_det=100, iou=None):
+        def mean_ap(aname="all", max_det=100, iou=None, iou_type="bbox"):
             vals = []
             for cat in cats:
-                acc = self._accumulate(cat, aname, max_det)
+                acc = self._accumulate(cat, aname, max_det, iou_type)
                 if acc is None:
                     continue
                 precision, _ = acc
@@ -290,10 +321,10 @@ class COCOEvaluator:
                     vals.append(precision[t].mean())
             return float(np.mean(vals)) if vals else float("nan")
 
-        def mean_ar(aname="all", max_det=100):
+        def mean_ar(aname="all", max_det=100, iou_type="bbox"):
             vals = []
             for cat in cats:
-                acc = self._accumulate(cat, aname, max_det)
+                acc = self._accumulate(cat, aname, max_det, iou_type)
                 if acc is None:
                     continue
                 _, recall = acc
@@ -315,4 +346,8 @@ class COCOEvaluator:
             stats[f"AR{aname[0]}@{max(self.max_dets)}"] = mean_ar(
                 aname, max(self.max_dets)
             )
+        if self._has_masks:
+            stats["segm_AP"] = mean_ap(iou_type="segm")
+            stats["segm_AP50"] = mean_ap(iou=0.5, iou_type="segm")
+            stats["segm_AR@100"] = mean_ar(max_det=100, iou_type="segm")
         return stats

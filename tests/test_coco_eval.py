@@ -133,3 +133,36 @@ def test_rle_compressed_decode():
         assert _decode_compressed_counts(s) == list(rle["counts"])
         compressed = {"counts": s, "size": rle["size"]}
         np.testing.assert_array_equal(decode_rle(compressed), mask)
+
+
+def test_mask_iou_and_segm_metrics():
+    from ir_ads_tpu.detection.coco_eval import mask_iou
+
+    a = np.zeros((1, 8, 8), np.uint8)
+    a[0, :4, :4] = 1
+    b = np.zeros((2, 8, 8), np.uint8)
+    b[0, :4, :4] = 1          # identical
+    b[1, 2:6, 2:6] = 1        # 4/28 overlap
+    iou = mask_iou(a, b)
+    np.testing.assert_allclose(iou[0, 0], 1.0)
+    np.testing.assert_allclose(iou[0, 1], 4.0 / 28.0)
+
+    ev = COCOEvaluator()
+    gt_boxes = np.asarray([[0, 0, 4, 4]], float)
+    labels = np.asarray([0])
+    masks = a.astype(np.float32)
+    ev.add_image(gt_boxes, np.asarray([0.9]), labels, gt_boxes, labels,
+                 pred_masks=masks, gt_masks=masks)
+    stats = ev.summarize()
+    assert stats["AP"] == pytest.approx(1.0)
+    assert stats["segm_AP"] == pytest.approx(1.0)
+
+    # wrong mask, right box -> segm AP drops, bbox AP stays
+    ev2 = COCOEvaluator()
+    wrong = np.zeros_like(masks)
+    wrong[0, 6:8, 6:8] = 1
+    ev2.add_image(gt_boxes, np.asarray([0.9]), labels, gt_boxes, labels,
+                  pred_masks=wrong, gt_masks=masks)
+    s2 = ev2.summarize()
+    assert s2["AP"] == pytest.approx(1.0)
+    assert s2["segm_AP"] == pytest.approx(0.0)
