@@ -590,19 +590,44 @@ class DAttentionMM(nn.Module):
         hg = heads // g  # heads per group
         q_grid = make_ref_grid(h, w, 1, centered=False)[0].reshape(h * w, 2)
 
-        def rpe_bias(pos):  # pos: (B*g, Hk, Wk, 2)
-            disp = (
-                q_grid[None, :, None, :] - pos.reshape(b * g, 1, n, 2)
-            ) * 0.5  # (B*g, HW, n, 2) in (dy, dx)
-            table = (
-                rpe_table.reshape(g, hg, 2 * rh - 1, 2 * rw - 1)
-                .transpose(0, 2, 3, 1)  # (g, H', W', hg)
-            )
-            table = jnp.broadcast_to(
-                table[None], (b, g, 2 * rh - 1, 2 * rw - 1, hg)
-            ).reshape(b * g, 2 * rh - 1, 2 * rw - 1, hg)
-            bias = grid_sample(table, disp[..., ::-1], align_corners=True)
-            return bias  # (B*g, HW, n, hg)
+        table = rpe_table.reshape(g, hg, 2 * rh - 1, 2 * rw - 1).transpose(
+            0, 2, 3, 1
+        )  # (g, S1, S2, hg)
+        s1, s2 = 2 * rh - 1, 2 * rw - 1
+        qy = jnp.arange(h, dtype=jnp.float32) / max(h - 1, 1) * 2.0 - 1.0
+        qx = jnp.arange(w, dtype=jnp.float32) / max(w - 1, 1) * 2.0 - 1.0
+
+        def rpe_bias(pos):  # pos: (B*g, Hk, Wk, 2) as (y, x)
+            """Bilinear table sampling as two MXU contractions.
+
+            The sample displacement (q_i - pos_j)/2 separates into a
+            per-row and a per-column term (the query grid is a product
+            grid), so bilinear interpolation factorizes EXACTLY into
+            1-D hat-weight matrices:
+              bias[r, c, j] = sum_{s,t} hat(iy(r,j)-s) T[s,t] hat(ix(c,j)-t)
+            A gather formulation of the same op (grid_sample) costs ~26M
+            scalar gathers here and dominated the whole forward (~700ms on
+            v5e); the matmul form is ~10 GMACs (tests/test_swin_parity.py +
+            test_dscf_rpe.py verify exact equivalence)."""
+            pf = pos.reshape(b * g, n, 2)
+            iy = (0.5 * (qy[None, None, :] - pf[:, :, 0:1]) + 1.0) * 0.5 * (s1 - 1)
+            ix = (0.5 * (qx[None, None, :] - pf[:, :, 1:2]) + 1.0) * 0.5 * (s2 - 1)
+            wy = jnp.maximum(
+                0.0, 1.0 - jnp.abs(iy[..., None] - jnp.arange(s1, dtype=jnp.float32))
+            )  # (B*g, n, h, S1)
+            wx = jnp.maximum(
+                0.0, 1.0 - jnp.abs(ix[..., None] - jnp.arange(s2, dtype=jnp.float32))
+            )  # (B*g, n, w, S2)
+            tb = jnp.broadcast_to(
+                table[None].astype(jnp.float32), (b, g, s1, s2, hg)
+            ).reshape(b * g, s1, s2, hg)
+            u = jnp.einsum(
+                "bste,bnct->bncse", tb, wx, preferred_element_type=jnp.float32
+            )  # (B*g, n, w, S1, hg)
+            bias = jnp.einsum(
+                "bnrs,bncse->brcne", wy, u, preferred_element_type=jnp.float32
+            )  # (B*g, h, w, n, hg)
+            return bias.reshape(b * g, h * w, n, hg)
 
         bias_x = rpe_bias(pos_x)
         bias_y = rpe_bias(pos_y)
