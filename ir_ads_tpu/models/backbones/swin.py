@@ -254,13 +254,27 @@ class SwinBlockAdapter(nn.Module):
         )(h, deterministic, drop_path_override)
         x = h + identity
 
-        adapter = Adapter(
-            mlp_ratio=self.adapter_ratio,
-            skip_connect=False,
-            dtype=self.dtype,
-            name=f"adapter_{sub_mode}",
-        )
-        adapter_x = 0.5 * adapter(x, deterministic)  # scale (swin.py:577)
+        if sub_mode == "dual":
+            # both streams batched through the shared attention/FFN; only
+            # the adapter branch is per-modality (first half rgb, second dte)
+            half = x.shape[0] // 2
+            a_rgb = Adapter(
+                mlp_ratio=self.adapter_ratio, skip_connect=False,
+                dtype=self.dtype, name="adapter_rgb",
+            )(x[:half], deterministic)
+            a_dte = Adapter(
+                mlp_ratio=self.adapter_ratio, skip_connect=False,
+                dtype=self.dtype, name="adapter_dte",
+            )(x[half:], deterministic)
+            adapter_x = 0.5 * jnp.concatenate([a_rgb, a_dte], axis=0)
+        else:
+            adapter = Adapter(
+                mlp_ratio=self.adapter_ratio,
+                skip_connect=False,
+                dtype=self.dtype,
+                name=f"adapter_{sub_mode}",
+            )
+            adapter_x = 0.5 * adapter(x, deterministic)  # scale (swin.py:577)
 
         identity = x
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
@@ -742,6 +756,7 @@ class SwinTransformer(nn.Module):
     use_remat: bool = False
     mmst_mask: bool = True
     attn_impl: str = "xla"  # "pallas" = fused TPU kernel
+    dual_batch: bool = False  # opt-in: both streams in one pass (wins at small batch)
     dtype: Optional[Dtype] = None
 
     # DSCF per-level config (reference swin.py:1263-1265)
@@ -801,8 +816,18 @@ class SwinTransformer(nn.Module):
                 dtype=self.dtype,
                 name=f"stages_{i}",
             )
-            x_rgb, rgb_out = stage(x_rgb, "rgb", not train)
-            x_dte, dte_out = stage(x_dte, "dte", not train)
+            if self.dual_batch:
+                # both streams through the shared-weight stage in one call:
+                # 2x matmul batch (weights identical, so numerics match the
+                # reference's sequential two-pass exactly)
+                b0 = x_rgb.shape[0]
+                both = jnp.concatenate([x_rgb, x_dte], axis=0)
+                both, both_out = stage(both, "dual", not train)
+                x_rgb, x_dte = both[:b0], both[b0:]
+                rgb_out, dte_out = both_out[:b0], both_out[b0:]
+            else:
+                x_rgb, rgb_out = stage(x_rgb, "rgb", not train)
+                x_dte, dte_out = stage(x_dte, "dte", not train)
 
             if i in self.out_indices:
                 rgb_out = nn.LayerNorm(

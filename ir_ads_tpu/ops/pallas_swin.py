@@ -85,11 +85,15 @@ def pallas_window_attention(
     bn, h, n, d = q.shape
     n_pad = _round_up(n, 128)
     d_pad = _round_up(d, 128)
+    g = window_chunk
+    bn_pad = _round_up(bn, g)  # window-count padding (Mosaic sublane rule)
 
     # layout: (heads, B*nW, N, D) so heads is a clean grid axis
     def to_hw(t):
         t = t.transpose(1, 0, 2, 3)
-        return jnp.pad(t, ((0, 0), (0, 0), (0, n_pad - n), (0, d_pad - d)))
+        return jnp.pad(
+            t, ((0, 0), (0, bn_pad - bn), (0, n_pad - n), (0, d_pad - d))
+        )
 
     qh, kh, vh = to_hw(q), to_hw(k), to_hw(v)
     bias_p = jnp.pad(bias, ((0, 0), (0, n_pad - n), (0, n_pad - n)))
@@ -99,19 +103,19 @@ def pallas_window_attention(
     else:
         nw = region.shape[0]
         region_full = jnp.tile(region, (bn // nw, 1))
-    # padded key columns get id -1 => masked vs any real token id >= 0
+    # padded key columns get id -1 => masked vs any real token id >= 0;
+    # padded windows are all -1 (self-consistent garbage, sliced off below)
     region_full = jnp.pad(
-        region_full, ((0, 0), (0, n_pad - n)), constant_values=-1
+        region_full,
+        ((0, bn_pad - bn), (0, n_pad - n)),
+        constant_values=-1,
     )
 
-    g = min(window_chunk, bn)
-    while bn % g:
-        g -= 1
-    grid = (bn // g, h)
+    grid = (bn_pad // g, h)
 
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, n=n),
-        out_shape=jax.ShapeDtypeStruct((h, bn, n_pad, d_pad), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((h, bn_pad, n_pad, d_pad), q.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, g, n_pad, d_pad), lambda i, j: (j, i, 0, 0),
@@ -131,13 +135,13 @@ def pallas_window_attention(
         ),
         interpret=interpret,
     )(
-        qh.reshape(h, bn, n_pad, d_pad),
-        kh.reshape(h, bn, n_pad, d_pad),
-        vh.reshape(h, bn, n_pad, d_pad),
+        qh,
+        kh,
+        vh,
         bias_p,
         region_full,
     )
-    out = out[:, :, :n, :d].transpose(1, 0, 2, 3)  # (B*nW, heads, N, D)
+    out = out[:, :bn, :n, :d].transpose(1, 0, 2, 3)  # (B*nW, heads, N, D)
     return out
 
 
