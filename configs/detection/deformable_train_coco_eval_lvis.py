@@ -1,0 +1,19 @@
+"""COCO-train -> LVIS-eval open-set variant (reference
+configs/dino-resnet/deformable_train_coco_eval_lvis.py)."""
+
+train = dict(
+    max_iter=60000,
+    batch_size=16,
+    lr=1e-4,
+    backbone_mult=0.1,
+    clip_norm=0.1,
+    ema_decay=0.999,
+    image_size=512,
+    class_ids=None,  # all COCO classes
+)
+
+eval_cfg = dict(
+    class_agnostic=True,
+    # point val at LVIS-format annotations converted to COCO json
+    max_dets=(1, 10, 20, 30, 50, 100, 300, 900),
+)
