@@ -135,8 +135,9 @@ def get_log_potential(
         cov = epsilon * S
         chol = jnp.linalg.cholesky(cov)
         diff = x[:, None, :] - r[None]
+        chol_b = jnp.broadcast_to(chol[None], (x.shape[0],) + chol.shape)
         sol = jax.scipy.linalg.solve_triangular(
-            chol[None], diff[..., None], lower=True
+            chol_b, diff[..., None], lower=True
         )[..., 0]
         logdet = 2 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), -1)
         log_comp = -0.5 * (

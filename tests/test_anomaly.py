@@ -215,3 +215,35 @@ def test_train_ad_end_to_end(fake_mvtec, monkeypatch, capsys):
     roc = train_ad.main()
     assert np.isfinite(roc)
     assert os.path.exists(os.path.join(fake_mvtec, "out", "widget_weights.msgpack"))
+
+
+def test_lightsb_rotated_S():
+    """Non-diagonal (QR-orthogonal) covariance path."""
+    from ir_ads_tpu.anomaly.sb import (
+        LightSBParams, get_S, get_drift, get_log_C, get_log_potential,
+        sample_posterior,
+    )
+
+    rng = np.random.RandomState(0)
+    dim, n = 4, 3
+    p = LightSBParams(
+        log_alpha_raw=jnp.asarray(rng.randn(n).astype(np.float32) * 0.1),
+        r=jnp.asarray(rng.randn(n, dim).astype(np.float32)),
+        S_log_diag=jnp.asarray(rng.randn(n, dim).astype(np.float32) * 0.2 - 1),
+        S_rot_raw=jnp.asarray(rng.randn(n, dim, dim).astype(np.float32)),
+    )
+    eps = 0.2
+    S = get_S(p, )
+    assert S.shape == (n, dim, dim)
+    # symmetric positive definite
+    np.testing.assert_allclose(np.asarray(S), np.asarray(S).transpose(0, 2, 1),
+                               atol=1e-5)
+    assert (np.linalg.eigvalsh(np.asarray(S)) > 0).all()
+
+    x = jnp.asarray(rng.randn(5, dim).astype(np.float32))
+    assert np.isfinite(np.asarray(get_log_C(p, eps, x))).all()
+    assert np.isfinite(np.asarray(get_log_potential(p, eps, x))).all()
+    t = jnp.asarray([0.2, 0.5, 0.7, 0.1, 0.9])
+    assert np.isfinite(np.asarray(get_drift(p, eps, x, t))).all()
+    s = sample_posterior(p, eps, x, jax.random.PRNGKey(0))
+    assert s.shape == x.shape and np.isfinite(np.asarray(s)).all()
