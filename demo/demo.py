@@ -4,7 +4,9 @@
 
 Usage:
   python demo/demo.py --weights out/ema_weights.msgpack --num-classes 20 \\
-      --input img.jpg [--video in.mp4] --output out_vis/ --score-thresh 0.4
+      --input img.jpg --output out_vis/ --score-thresh 0.4
+  python demo/demo.py --input frames_dir/ --track hungarian   # MOT over a
+      frame sequence (reference demo/mot_demo.py)
 
 The reference's AsyncPredictor (multi-GPU queue) maps to simple host-side
 pipelining here: JAX dispatch is already async; decode of frame N+1 overlaps
@@ -86,7 +88,15 @@ def main():
     p.add_argument("--backbone", default="resnet50")
     p.add_argument("--image-size", type=int, default=512)
     p.add_argument("--score-thresh", type=float, default=0.4)
+    p.add_argument("--track", choices=["iou", "hungarian"], default=None,
+                   help="treat input dir as a frame sequence and track")
     args = p.parse_args()
+
+    tracker = None
+    if args.track:
+        from ir_ads_tpu.detection.tracking import TRACKERS
+
+        tracker = TRACKERS[args.track]()
 
     infer = build(args)
     os.makedirs(args.output, exist_ok=True)
@@ -105,10 +115,18 @@ def main():
         scores, boxes, keep, cls = infer(inp[None])
         scores.block_until_ready()
         dt = (time.time() - t0) * 1000
-        vis = draw(
-            img, np.asarray(boxes[0]), np.asarray(scores[0]),
-            np.asarray(keep[0]), args.score_thresh,
-        )
+        b, s_, k_ = np.asarray(boxes[0]), np.asarray(scores[0]), np.asarray(keep[0])
+        if tracker is not None:
+            sel = k_ & (s_ > args.score_thresh)
+            tracks = tracker.update(
+                b[sel], np.asarray(cls[0])[: len(b)][sel], s_[sel]
+            )
+            b = np.stack([t.box for t in tracks]) if tracks else np.zeros((0, 4))
+            s_ = np.asarray([t.score for t in tracks])
+            k_ = np.ones(len(b), bool)
+            # annotate track ids via score text (id.score)
+            s_ = np.asarray([t.track_id + t.score / 10 for t in tracks])
+        vis = draw(img, b, s_, k_, 0.0 if tracker else args.score_thresh)
         out = Path(args.output) / f"{path.stem}_det.png"
         Image.fromarray(vis).save(out)
         print(f"{path.name}: {dt:.0f} ms -> {out}")
