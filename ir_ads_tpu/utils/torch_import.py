@@ -331,3 +331,210 @@ def import_pretrained_swin(
     sd.update(extra)
     sd = {"backbone." + k: v for k, v in sd.items()}
     return import_cmnext_state_dict(sd, variables)
+
+
+def _msdeform(sd, prefix):
+    """detrex MultiScaleDeformableAttention -> MSDeformAttention subtree."""
+    return {
+        "sampling_offsets": _linear(sd, prefix + ".sampling_offsets"),
+        "attention_weights": _linear(sd, prefix + ".attention_weights"),
+        "value_proj": _linear(sd, prefix + ".value_proj"),
+        "output_proj": _linear(sd, prefix + ".output_proj"),
+    }
+
+
+def _torch_mha(sd, prefix):
+    """torch nn.MultiheadAttention (in_proj packed qkv) -> our MHA."""
+    w = sd[prefix + ".attn.in_proj_weight"]  # (3C, C)
+    b = sd[prefix + ".attn.in_proj_bias"]
+    c = w.shape[1]
+    return {
+        "q_proj": {"kernel": np.ascontiguousarray(w[:c].T), "bias": b[:c]},
+        "k_proj": {"kernel": np.ascontiguousarray(w[c : 2 * c].T),
+                   "bias": b[c : 2 * c]},
+        "v_proj": {"kernel": np.ascontiguousarray(w[2 * c :].T),
+                   "bias": b[2 * c :]},
+        "out_proj": _linear(sd, prefix + ".attn.out_proj"),
+    }
+
+
+def _mlp3(sd, prefix, n=3):
+    return {
+        f"layer{i}": _linear(sd, f"{prefix}.layers.{i}") for i in range(n)
+    }
+
+
+def import_dino_state_dict(
+    sd: Dict[str, np.ndarray], variables: Any
+) -> Tuple[Any, List[str]]:
+    """Import a reference vCLR-DINO state_dict (projects/.../modeling/dino.py
+    module tree over detrex layers) into DINODetector variables.
+
+    Mapped: d2-R50 backbone, ChannelMapper neck, encoder/decoder layers
+    (MSDeformAttn + packed-qkv MHA + FFN + norms), shared class/bbox heads,
+    tgt/label embeddings, enc_output, ref_point_head, mask/ROI embeds, and
+    the fused-FPN seg mapping convs.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])
+    warnings: List[str] = []
+
+    def _flat(sub, trail=()):
+        if isinstance(sub, dict):
+            for k, v in sub.items():
+                yield from _flat(v, trail + (k,))
+        else:
+            yield trail, sub
+
+    def assign(tree, path, sub):
+        for trail, leaf in _flat(sub):
+            full = list(path) + list(trail)
+            node = tree
+            ok = True
+            for p in full[:-1]:
+                if p not in node:
+                    warnings.append(f"no param {'/'.join(map(str, full))}")
+                    ok = False
+                    break
+                node = node[p]
+            if not ok:
+                continue
+            key = full[-1]
+            if key not in node:
+                warnings.append(f"no param {'/'.join(map(str, full))}")
+            elif node[key].shape != leaf.shape:
+                warnings.append(
+                    f"shape mismatch {'/'.join(map(str, full))}: "
+                    f"{node[key].shape} vs {leaf.shape}"
+                )
+            else:
+                node[key] = leaf.astype(node[key].dtype)
+
+    def d2_conv_norm(prefix):
+        """d2 Conv2d with fused FrozenBN (.norm.*) -> conv + BNorm stats."""
+        p = {"kernel": sd[prefix + ".weight"].transpose(2, 3, 1, 0)}
+        bn_p = {"scale": sd[prefix + ".norm.weight"],
+                "bias": sd[prefix + ".norm.bias"]}
+        bn_s = {"mean": sd[prefix + ".norm.running_mean"],
+                "var": sd[prefix + ".norm.running_var"]}
+        return p, bn_p, bn_s
+
+    # --- d2 ResNet-50 backbone (stem + res2..5 bottlenecks)
+    if "backbone.stem.conv1.weight" in sd:
+        p, bnp, bns = d2_conv_norm("backbone.stem.conv1")
+        assign(params, ["backbone", "stem_conv"], p)
+        assign(params, ["backbone", "stem_bn", "BatchNorm_0"], bnp)
+        assign(stats, ["backbone", "stem_bn", "BatchNorm_0"], bns)
+        layer_sizes = {2: 3, 3: 4, 4: 6, 5: 3}
+        for res, n_blocks in layer_sizes.items():
+            for j in range(n_blocks):
+                base = f"backbone.res{res}.{j}"
+                if base + ".conv1.weight" not in sd:
+                    continue
+                tgt = ["backbone", f"layer{res - 1}_{j}"]
+                for ci in (1, 2, 3):
+                    p, bnp, bns = d2_conv_norm(f"{base}.conv{ci}")
+                    assign(params, tgt + [f"conv{ci}"], p)
+                    assign(params, tgt + [f"bn{ci}", "BatchNorm_0"], bnp)
+                    assign(stats, tgt + [f"bn{ci}", "BatchNorm_0"], bns)
+                if f"{base}.shortcut.weight" in sd:
+                    p, bnp, bns = d2_conv_norm(f"{base}.shortcut")
+                    assign(params, tgt + ["downsample_conv"], p)
+                    assign(params, tgt + ["downsample_bn", "BatchNorm_0"], bnp)
+                    assign(stats, tgt + ["downsample_bn", "BatchNorm_0"], bns)
+
+    # --- neck (ChannelMapper: convs.{i}.conv/gn, extra_convs.{i})
+    for i in range(8):
+        if f"neck.convs.{i}.conv.weight" in sd:
+            assign(params, ["neck", f"conv_{i}"],
+                   _conv(sd, f"neck.convs.{i}.conv"))
+            assign(params, ["neck", f"gn_{i}"], _norm(sd, f"neck.convs.{i}.gn"))
+        if f"neck.extra_convs.{i}.conv.weight" in sd:
+            # extra convs continue the level index after the mapped ones
+            n_base = len([k for k in sd if k.startswith("neck.convs.")
+                          and k.endswith(".conv.weight")])
+            assign(params, ["neck", f"extra_conv_{n_base + i}"],
+                   _conv(sd, f"neck.extra_convs.{i}.conv"))
+            assign(params, ["neck", f"extra_gn_{n_base + i}"],
+                   _norm(sd, f"neck.extra_convs.{i}.gn"))
+
+    tr = "transformer"
+    if f"{tr}.level_embeds" in sd:
+        assign(params, [tr, "level_embeds"], sd[f"{tr}.level_embeds"])
+    if f"{tr}.tgt_embed.weight" in sd:
+        assign(params, [tr, "tgt_embed"], sd[f"{tr}.tgt_embed.weight"])
+    if f"{tr}.enc_output.weight" in sd:
+        assign(params, [tr, "enc_output"], _linear(sd, f"{tr}.enc_output"))
+        assign(params, [tr, "enc_output_norm"],
+               _norm(sd, f"{tr}.enc_output_norm"))
+    if "label_enc.weight" in sd:
+        assign(params, ["label_enc"], sd["label_enc.weight"])
+
+    # encoder layers: attentions.0 = MSDeformAttn; norms.{0,1}; ffns.0
+    for i in range(12):
+        base = f"{tr}.encoder.layers.{i}"
+        if f"{base}.attentions.0.sampling_offsets.weight" not in sd:
+            continue
+        assign(params, [tr, f"encoder_{i}", "self_attn"],
+               _msdeform(sd, f"{base}.attentions.0"))
+        assign(params, [tr, f"encoder_{i}", "norm1"],
+               _norm(sd, f"{base}.norms.0"))
+        assign(params, [tr, f"encoder_{i}", "norm2"],
+               _norm(sd, f"{base}.norms.1"))
+        assign(params, [tr, f"encoder_{i}", "ffn"], {
+            "Dense_0": _linear(sd, f"{base}.ffns.0.layers.0.0"),
+            "Dense_1": _linear(sd, f"{base}.ffns.0.layers.1"),
+        })
+
+    # decoder layers: attentions.0 = MHA self-attn, attentions.1 = MSDeform
+    for i in range(12):
+        base = f"{tr}.decoder.layers.{i}"
+        if f"{base}.attentions.0.attn.in_proj_weight" in sd:
+            assign(params, [tr, f"decoder_{i}", "self_attn"],
+                   _torch_mha(sd, f"{base}.attentions.0"))
+        if f"{base}.attentions.1.sampling_offsets.weight" in sd:
+            assign(params, [tr, f"decoder_{i}", "cross_attn"],
+                   _msdeform(sd, f"{base}.attentions.1"))
+        for k in range(3):
+            if f"{base}.norms.{k}.weight" in sd:
+                assign(params, [tr, f"decoder_{i}", f"norm{k + 1}"],
+                       _norm(sd, f"{base}.norms.{k}"))
+        if f"{base}.ffns.0.layers.0.0.weight" in sd:
+            assign(params, [tr, f"decoder_{i}", "ffn"], {
+                "Dense_0": _linear(sd, f"{base}.ffns.0.layers.0.0"),
+                "Dense_1": _linear(sd, f"{base}.ffns.0.layers.1"),
+            })
+
+    if f"{tr}.decoder.ref_point_head.layers.0.weight" in sd:
+        assign(params, [tr, "ref_point_head"],
+               _mlp3(sd, f"{tr}.decoder.ref_point_head", 2))
+    if f"{tr}.decoder.norm.weight" in sd:
+        assign(params, [tr, "decoder_norm"], _norm(sd, f"{tr}.decoder.norm"))
+
+    # shared heads (class_embed/bbox_embed ModuleLists, dino.py:218-231)
+    for i in range(8):
+        if f"class_embed.{i}.weight" in sd:
+            assign(params, [tr, f"class_embed_{i}"],
+                   _linear(sd, f"class_embed.{i}"))
+        if f"bbox_embed.{i}.layers.0.weight" in sd:
+            assign(params, [tr, f"bbox_embed_{i}"],
+                   _mlp3(sd, f"bbox_embed.{i}", 3))
+        if f"mask_embed.{i}.layers.0.weight" in sd:
+            assign(params, [f"mask_embed_{i}"], _mlp3(sd, f"mask_embed.{i}", 3))
+        if f"ROI_embed.{i}.0.layers.0.weight" in sd:
+            assign(params, [f"roi_embed_{i}"],
+                   _mlp3(sd, f"ROI_embed.{i}.0", 3))
+
+    # fused-FPN seg mapping (dino.py:256-262)
+    if "mapping_fpn_features_for_seg.0.weight" in sd:
+        assign(params, ["seg_map_conv1"],
+               _conv(sd, "mapping_fpn_features_for_seg.0"))
+        bn_p, bn_s = _bn(sd, "mapping_fpn_features_for_seg.1")
+        assign(params, ["seg_map_bn"], bn_p)
+        assign(stats, ["seg_map_bn"], bn_s)
+        assign(params, ["seg_map_conv2"],
+               _conv(sd, "mapping_fpn_features_for_seg.3"))
+        assign(params, ["seg_post_ln"], _norm(sd, "post_layernorm"))
+
+    return {"params": params, "batch_stats": stats}, warnings

@@ -46,3 +46,17 @@ def test_lazy_config(tmp_path):
     cfg = load_py_config(str(cfg_file), ["train.lr=0.5", "model.y=7"])
     assert cfg["train"]["lr"] == 0.5
     assert instantiate(cfg["model"]) == ("made", 1, 7)
+
+
+def test_regnet_forward():
+    from ir_ads_tpu.models.backbones.regnet import RegNet, regnet_widths
+
+    widths, depths = regnet_widths(24, 24.48, 2.54, 22)
+    assert len(widths) == 4 and sum(depths) == 22
+
+    m = RegNet(variant="regnetx_400mf")
+    x = jnp.ones((1, 64, 64, 3))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x)
+    outs = m.apply(v, x)
+    assert set(outs) == {"res2", "res3", "res4", "res5"}
+    assert outs["res5"].shape[1] == 2  # stride 32
