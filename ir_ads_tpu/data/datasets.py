@@ -374,9 +374,10 @@ class Synthetic(SegDataset):
 
     def __init__(self, root="", split="train", transform=None,
                  modals=("img", "depth"), case=None, length=16,
-                 image_size=(64, 64), num_classes=8):
+                 image_size=(64, 64), num_classes=8, learnable=False):
         self.length = length
         self.image_size = tuple(image_size)
+        self.learnable = learnable or root == "learnable"
         self.CLASSES = [f"class_{i}" for i in range(num_classes)]
         super().__init__(root, split, transform, modals, case)
 
@@ -384,13 +385,24 @@ class Synthetic(SegDataset):
         return [str(i) for i in range(self.length)]
 
     def _load(self, index):
-        rng = np.random.RandomState(index)
+        rng = np.random.RandomState(index + (0 if self.split == "train" else 10_000))
         h, w = self.image_size
         sample = {
             m: rng.randint(0, 256, (h, w, 3), dtype=np.uint8).astype(np.uint8)
             for m in self.modals
         }
-        lbl = rng.randint(0, self.n_classes, (h, w)).astype(np.int32)
+        if self.learnable:
+            # label is a deterministic function of the RGB pixel (color
+            # octant) -> a model that learns gets mIoU >> chance
+            img = sample["img"]
+            lbl = (
+                (img[..., 0] > 127).astype(np.int32) * 4
+                + (img[..., 1] > 127).astype(np.int32) * 2
+                + (img[..., 2] > 127).astype(np.int32)
+            ) % self.n_classes
+            lbl = lbl.astype(np.int32)
+        else:
+            lbl = rng.randint(0, self.n_classes, (h, w)).astype(np.int32)
         lbl[:2, :2] = self.ignore_label
         sample["mask"] = lbl
         return sample
