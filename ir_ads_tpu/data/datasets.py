@@ -387,21 +387,31 @@ class Synthetic(SegDataset):
     def _load(self, index):
         rng = np.random.RandomState(index + (0 if self.split == "train" else 10_000))
         h, w = self.image_size
-        sample = {
-            m: rng.randint(0, 256, (h, w, 3), dtype=np.uint8).astype(np.uint8)
-            for m in self.modals
-        }
         if self.learnable:
-            # label is a deterministic function of the RGB pixel (color
-            # octant) -> a model that learns gets mIoU >> chance
-            img = sample["img"]
-            lbl = (
-                (img[..., 0] > 127).astype(np.int32) * 4
-                + (img[..., 1] > 127).astype(np.int32) * 2
-                + (img[..., 2] > 127).astype(np.int32)
-            ) % self.n_classes
-            lbl = lbl.astype(np.int32)
+            # block-structured color regions whose label is the extreme
+            # color octant — survives bilinear resizing / cropping, so a
+            # learning model reaches mIoU >> chance
+            bs = 8
+            bh, bw = -(-h // bs), -(-w // bs)
+            octants = rng.randint(0, 8, (bh, bw))
+            colors = (
+                np.stack(
+                    [(octants >> 2) & 1, (octants >> 1) & 1, octants & 1], -1
+                ) * 200 + 28
+            ).astype(np.uint8)
+            img = np.repeat(np.repeat(colors, bs, 0), bs, 1)[:h, :w]
+            lbl = np.repeat(
+                np.repeat(octants % self.n_classes, bs, 0), bs, 1
+            )[:h, :w].astype(np.int32)
+            sample = {"img": img}
+            for m in self.modals:
+                if m != "img":
+                    sample[m] = img.copy()
         else:
+            sample = {
+                m: rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+                for m in self.modals
+            }
             lbl = rng.randint(0, self.n_classes, (h, w)).astype(np.int32)
         lbl[:2, :2] = self.ignore_label
         sample["mask"] = lbl

@@ -74,13 +74,22 @@ def build_model_and_state(cfg, num_classes, rng_seed=3407, sample_hw=(64, 64)):
     return model, state
 
 
+def _usable_devices(batch_size: int):
+    """Largest device count that divides the batch (data-axis sharding)."""
+    devs = jax.devices()
+    n = len(devs)
+    while batch_size % n:
+        n -= 1
+    return devs[:n]
+
+
 def main(cfg, save_dir: Path):
     logger = get_logger(save_dir / "train.log")
     writer = ScalarWriter(str(save_dir))
     train_cfg, eval_cfg = cfg["TRAIN"], cfg["EVAL"]
     dataset_cfg, model_cfg = cfg["DATASET"], cfg["MODEL"]
 
-    mesh = make_mesh()
+    mesh = make_mesh(devices=_usable_devices(train_cfg["BATCH_SIZE"]))
     logger.info(f"mesh: {mesh.devices.shape} over {jax.devices()[0].platform}")
 
     ds_cls = get_dataset(dataset_cfg["NAME"])
