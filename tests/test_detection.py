@@ -246,3 +246,30 @@ def test_samplers():
     )
     for g in groups:
         assert len({wide[i] for i in g}) == 1
+
+
+def test_conditional_attention_modules():
+    from ir_ads_tpu.detection.conditional_attn import (
+        ConditionalCrossAttention,
+        ConditionalSelfAttention,
+        PositionEmbeddingLearned,
+    )
+
+    q = jnp.ones((2, 5, 32))
+    pos = jnp.ones((2, 5, 32)) * 0.1
+    sa = ConditionalSelfAttention(32, 4)
+    v = sa.init(jax.random.PRNGKey(0), q, pos)
+    out = sa.apply(v, q, pos)
+    assert out.shape == q.shape and bool(jnp.isfinite(out).all())
+
+    mem = jnp.ones((2, 9, 32))
+    mem_pos = jnp.ones((2, 9, 32)) * 0.2
+    ca = ConditionalCrossAttention(32, 4)
+    vc = ca.init(jax.random.PRNGKey(0), q, mem, mem, pos, mem_pos, pos, True)
+    out = ca.apply(vc, q, mem, mem, pos, mem_pos, pos, False)
+    assert out.shape == q.shape and bool(jnp.isfinite(out).all())
+
+    pe = PositionEmbeddingLearned(num_pos_feats=16)
+    vp = pe.init(jax.random.PRNGKey(0), 7, 9)
+    emb = pe.apply(vp, 7, 9)
+    assert emb.shape == (7, 9, 16)
