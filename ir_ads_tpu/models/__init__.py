@@ -41,7 +41,7 @@ class CMNeXtLegacy(nn.Module):
 
 
 def build_model(name: str, backbone: str, num_classes: int, **kw):
-    if name == "CMNeXt" and backbone.startswith("SwinTransformer"):
+    if backbone.startswith("SwinTransformer"):
         return CMNeXt(backbone=backbone, num_classes=num_classes, **kw)
     if backbone.split("-")[0] in ("CMNeXt", "CMX"):
         kw.pop("backbone_kwargs", None)

@@ -26,7 +26,7 @@ from ir_ads_tpu.data.augmentations import get_train_augmentation, get_val_augmen
 from ir_ads_tpu.data.datasets import get_dataset
 from ir_ads_tpu.data.loader import DataLoader, prefetch_to_mesh
 from ir_ads_tpu.evaluation.semseg_eval import evaluate, make_forward_fn
-from ir_ads_tpu.models.cmnext import CMNeXt
+from ir_ads_tpu.models import build_model
 from ir_ads_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from ir_ads_tpu.training.losses import get_loss
 from ir_ads_tpu.training.metrics import Metrics
@@ -41,8 +41,9 @@ def build_model_and_state(cfg, num_classes, rng_seed=3407, sample_hw=(64, 64)):
     model_cfg, train_cfg = cfg["MODEL"], cfg["TRAIN"]
     optim_cfg, sched_cfg = cfg["OPTIMIZER"], cfg["SCHEDULER"]
     dtype = jnp.bfloat16 if train_cfg.get("AMP", True) else None
-    model = CMNeXt(
-        backbone=model_cfg["BACKBONE"],
+    model = build_model(
+        model_cfg.get("NAME", "CMNeXt"),
+        model_cfg["BACKBONE"],
         num_classes=num_classes,
         dtype=dtype,
         backbone_kwargs=model_cfg.get("BACKBONE_KWARGS"),

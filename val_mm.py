@@ -28,7 +28,7 @@ from ir_ads_tpu.evaluation.semseg_eval import (
     make_forward_fn,
     make_sliding_window_fn,
 )
-from ir_ads_tpu.models.cmnext import CMNeXt
+from ir_ads_tpu.models import build_model
 from ir_ads_tpu.training.metrics import Metrics
 from ir_ads_tpu.utils.checkpoint import load_weights
 from ir_ads_tpu.utils.config import load_config
@@ -40,8 +40,9 @@ import jax
 def build_eval_model(cfg, num_classes, image_hw):
     model_cfg = cfg["MODEL"]
     dtype = jnp.bfloat16 if cfg["TRAIN"].get("AMP", True) else None
-    model = CMNeXt(
-        backbone=model_cfg["BACKBONE"],
+    model = build_model(
+        model_cfg.get("NAME", "CMNeXt"),
+        model_cfg["BACKBONE"],
         num_classes=num_classes,
         dtype=dtype,
         backbone_kwargs=model_cfg.get("BACKBONE_KWARGS"),
