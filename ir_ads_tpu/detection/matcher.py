@@ -35,12 +35,95 @@ def _solve_batch(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return rows, cols
 
 
-def hungarian_match(cost: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def auction_match(
+    cost: jax.Array, eps: float = 1e-3, max_iters: int = 200
+) -> jax.Array:
+    """Device-native assignment via the parallel Bertsekas auction.
+
+    cost (B, Q, G), G <= Q; returns query index per gt (B, G).  eps-optimal:
+    total cost within G*eps of the Hungarian optimum — indistinguishable for
+    DETR matching, and it runs entirely on device (the host-callback
+    Hungarian is unavailable on some TPU runtimes, e.g. relay-executed
+    chips reject send/recv callbacks).
+    """
+    b, q, g = cost.shape
+    benefit = -jax.lax.stop_gradient(cost).astype(jnp.float32)  # maximize
+
+    gt_ids = jnp.arange(g)
+    q_ids = jnp.arange(q)
+
+    def solve_one(ben):  # ben: (Q, G) benefit
+        val_t = ben.T  # (G, Q)
+
+        def cond(state):
+            _, assigned, it = state
+            return (assigned < 0).any() & (it < max_iters)
+
+        def body(state):
+            prices, assigned, it = state
+            value = val_t - prices[None, :]  # (G, Q)
+            best = jnp.argmax(value, axis=1)  # (G,)
+            top2 = jax.lax.top_k(value, 2)[0]
+            bid = top2[:, 0] - top2[:, 1] + eps  # (G,)
+            unassigned = assigned < 0
+
+            # (G, Q) bid matrix: each unassigned gt bids on its best query
+            bids = jnp.where(
+                unassigned[:, None] & (q_ids[None, :] == best[:, None]),
+                bid[:, None],
+                -jnp.inf,
+            )
+            win_bid = bids.max(axis=0)  # (Q,)
+            is_win = jnp.isfinite(bids) & (bids >= win_bid[None, :])
+            # tie-break: lowest gt index
+            first = jnp.argmax(is_win, axis=0)  # (Q,)
+            winner = is_win & (gt_ids[:, None] == first[None, :])  # (G, Q)
+            won_q = winner.any(axis=0)  # (Q,)
+
+            # evict current holders of contested queries
+            holds = assigned[:, None] == q_ids[None, :]
+            evicted = (holds & won_q[None, :]).any(axis=1)
+            assigned = jnp.where(evicted, -1, assigned)
+            # record winners
+            won_gt = winner.any(axis=1)
+            new_q = (winner * q_ids[None, :]).sum(axis=1)
+            assigned = jnp.where(won_gt, new_q, assigned)
+            prices = prices + jnp.where(
+                won_q, (winner * bid[:, None]).sum(axis=0), 0.0
+            )
+            return prices, assigned, it + 1
+
+        _, assigned, _ = jax.lax.while_loop(
+            cond, body, (jnp.zeros((q,), jnp.float32),
+                         jnp.full((g,), -1, jnp.int32), 0)
+        )
+        # safety net for max_iters exhaustion: greedy over free queries
+        taken = (assigned[:, None] == q_ids[None, :]).any(axis=0)
+        fallback = jnp.argmax(
+            jnp.where(taken[None, :], -jnp.inf, val_t), axis=1
+        ).astype(jnp.int32)
+        return jnp.where(assigned >= 0, assigned, fallback)
+
+    return jax.vmap(solve_one)(benefit)
+
+
+def hungarian_match(
+    cost: jax.Array, impl: str = "auto"
+) -> Tuple[jax.Array, jax.Array]:
     """cost (B, Q, G) -> (query_idx (B, G), gt_idx (B, G)).
 
     Assumes G <= Q; every GT column is assigned one query row.
+    impl: 'callback' (exact scipy on host), 'auction' (on-device
+    eps-optimal), or 'auto' (callback on CPU, auction on accelerators —
+    some TPU runtimes don't support host callbacks).
     """
     b, q, g = cost.shape
+    if impl == "auto":
+        impl = "callback" if jax.default_backend() == "cpu" else "auction"
+    if impl == "auction":
+        rows = auction_match(cost)
+        cols = jnp.broadcast_to(jnp.arange(g, dtype=jnp.int32), (b, g))
+        return rows, cols
     out_shape = (
         jax.ShapeDtypeStruct((b, g), jnp.int32),
         jax.ShapeDtypeStruct((b, g), jnp.int32),

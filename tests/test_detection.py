@@ -273,3 +273,22 @@ def test_conditional_attention_modules():
     vp = pe.init(jax.random.PRNGKey(0), 7, 9)
     emb = pe.apply(vp, 7, 9)
     assert emb.shape == (7, 9, 16)
+
+
+def test_auction_matches_hungarian_cost():
+    """Auction assignment total cost ~= scipy optimum (eps-optimal)."""
+    from scipy.optimize import linear_sum_assignment
+
+    from ir_ads_tpu.detection.matcher import auction_match
+
+    rng = np.random.RandomState(0)
+    for trial in range(8):
+        q, g = rng.randint(6, 30), rng.randint(1, 6)
+        cost = rng.rand(1, q, g).astype(np.float32)
+        rows = np.asarray(jax.jit(auction_match)(jnp.asarray(cost)))[0]
+        # valid permutation (distinct queries)
+        assert len(set(rows.tolist())) == g, rows
+        ours = cost[0][rows, np.arange(g)].sum()
+        r, c = linear_sum_assignment(cost[0])
+        opt = cost[0][r, c].sum()
+        assert ours <= opt + g * 2e-3 + 1e-6, (ours, opt)
