@@ -89,17 +89,25 @@ def evaluate_detector(model, variables, mapper, logger, topk=300,
         out = model.apply(variables, imgs, train=False)
         logits = out["pred_logits"][-1].astype(jnp.float32)
         boxes = out["pred_boxes"][-1]
+        masks = out["pred_masks"][-1]  # (B, Q, h0, w0) logits
         scores = jax.nn.sigmoid(logits)
-        cls_scores = scores.max(-1)
+        # mask-scored ranking (reference dino.py:924-931): sqrt(cls * mask)
+        mask_prob = jax.nn.sigmoid(masks.astype(jnp.float32))
+        mask_fg = (masks > 0).astype(jnp.float32)
+        mask_score = (mask_fg * mask_prob).sum((-2, -1)) / (
+            mask_fg.sum((-2, -1)) + 1e-10
+        )
+        cls_scores = jnp.sqrt(scores.max(-1) * jnp.maximum(mask_score, 1e-6))
         cls_ids = scores.argmax(-1)
         s, xyxy, keep = nms_topk(cls_scores, boxes, topk=min(topk, boxes.shape[1]))
         order = jnp.argsort(
             -jnp.where(keep, s, -1.0), axis=1
         )
-        return s, xyxy, keep, cls_ids, order
+        return s, xyxy, keep, cls_ids, order, masks
 
     def infer(imgs):
         return _infer(variables, imgs)
+
 
     ev = COCOEvaluator(class_agnostic=class_agnostic)
     rng = np.random.default_rng(0)
@@ -108,7 +116,7 @@ def evaluate_detector(model, variables, mapper, logger, topk=300,
     for i in range(n):
         sample = mapper(i, rng)
         imgs = jnp.asarray(sample.weak_image[None], jnp.float32)
-        s, xyxy, keep, cls_ids, order = infer(imgs)
+        s, xyxy, keep, cls_ids, order = infer(imgs)[:5]
         s, xyxy, keep = np.asarray(s[0]), np.asarray(xyxy[0]), np.asarray(keep[0])
         oh, ow = sample.orig_size
         sel = keep & (s > score_thresh)
