@@ -269,3 +269,43 @@ def detection_batches(
                 batch["masks"] = np.stack([s.masks for s in samples])
             yield batch
         epoch += 1
+
+
+def maskformer_semantic_targets(
+    anns, h: int, w: int, num_classes: int,
+    cat_to_contiguous, ignore_label: int = 255,
+) -> np.ndarray:
+    """Instance annotations -> a dense semantic label map (the
+    MaskFormerSemanticDatasetMapper contract from detrex/data/): later
+    (higher-index) instances overwrite earlier ones; uncovered pixels get
+    the ignore label."""
+    sem = np.full((h, w), ignore_label, np.int32)
+    for a in anns:
+        if a["category_id"] not in cat_to_contiguous:
+            continue
+        m = segmentation_to_mask(a.get("segmentation", []), h, w)
+        sem[m > 0] = cat_to_contiguous[a["category_id"]]
+    return sem
+
+
+def maskformer_instance_targets(
+    anns, h: int, w: int, max_instances: int, cat_to_contiguous,
+):
+    """Instance annotations -> (masks (N, H, W) float, labels (N,),
+    valid (N,)) padded to max_instances (MaskFormer binary-mask training
+    targets)."""
+    masks = np.zeros((max_instances, h, w), np.float32)
+    labels = np.zeros((max_instances,), np.int32)
+    valid = np.zeros((max_instances,), bool)
+    i = 0
+    for a in anns:
+        if i >= max_instances or a["category_id"] not in cat_to_contiguous:
+            continue
+        m = segmentation_to_mask(a.get("segmentation", []), h, w)
+        if m.sum() == 0:
+            continue
+        masks[i] = m
+        labels[i] = cat_to_contiguous[a["category_id"]]
+        valid[i] = True
+        i += 1
+    return masks, labels, valid

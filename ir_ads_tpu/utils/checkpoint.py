@@ -72,3 +72,30 @@ def load_checkpoint(directory: str, state) -> Tuple[Any, Dict]:
         step=train["step"],
     )
     return state, manifest
+
+
+class PeriodicCheckpointer:
+    """Periodic checkpoints with retention (d2 PeriodicCheckpointer,
+    engine/hooks.py: period + max_to_keep)."""
+
+    def __init__(self, directory: str, period: int, max_to_keep: int = 3):
+        self.directory = directory
+        self.period = period
+        self.max_to_keep = max_to_keep
+        self._kept = []
+
+    def step(self, state, step: int, **extra) -> Optional[str]:
+        if self.period <= 0 or (step + 1) % self.period:
+            return None
+        path = os.path.join(self.directory, f"ckpt_{step + 1:08d}")
+        save_checkpoint(path, state, epoch=step + 1, extra=extra)
+        self._kept.append(path)
+        while len(self._kept) > self.max_to_keep:
+            old = self._kept.pop(0)
+            try:
+                import shutil
+
+                shutil.rmtree(old)
+            except OSError:
+                pass
+        return path

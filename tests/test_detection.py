@@ -292,3 +292,25 @@ def test_auction_matches_hungarian_cost():
         r, c = linear_sum_assignment(cost[0])
         opt = cost[0][r, c].sum()
         assert ours <= opt + g * 2e-3 + 1e-6, (ours, opt)
+
+
+def test_maskformer_targets():
+    from ir_ads_tpu.detection.data import (
+        maskformer_instance_targets,
+        maskformer_semantic_targets,
+    )
+
+    anns = [
+        {"category_id": 1, "segmentation": [[0, 0, 4, 0, 4, 4, 0, 4]]},
+        {"category_id": 2, "segmentation": [[2, 2, 6, 2, 6, 6, 2, 6]]},
+    ]
+    c2c = {1: 0, 2: 1}
+    sem = maskformer_semantic_targets(anns, 8, 8, 2, c2c)
+    assert sem[1, 1] == 0
+    assert sem[5, 5] == 1  # later instance overwrites
+    assert sem[7, 7] == 255  # uncovered -> ignore
+
+    masks, labels, valid = maskformer_instance_targets(anns, 8, 8, 4, c2c)
+    assert valid.tolist() == [True, True, False, False]
+    assert labels[:2].tolist() == [0, 1]
+    assert masks[0].sum() > 0
