@@ -63,7 +63,7 @@ def test_focal_loss_matches_torchvision_formula():
     ref = ce * ((1 - p_t) ** 2)
     alpha_t = 0.25 * tt + 0.75 * (1 - tt)
     ref = alpha_t * ref
-    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-4)
 
 
 def test_hungarian_matches_scipy_direct():
