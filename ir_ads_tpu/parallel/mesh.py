@@ -22,6 +22,31 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed() -> bool:
+    """Multi-host initialization (replaces the reference's three NCCL init
+    paths: semseg setup_ddp SLURM/env://, d2 launch(), detrex slurm init).
+
+    Reads standard env: COORDINATOR_ADDRESS, NUM_PROCESSES, PROCESS_ID —
+    with SLURM fallbacks (SLURM_PROCID/SLURM_NTASKS like the reference's
+    utils.py:55-76).  Returns True if multi-host was initialized; single
+    host is a no-op (world-size-1 short-circuit, same contract as d2
+    comm.py).
+    """
+    import os
+
+    coord = os.environ.get("COORDINATOR_ADDRESS")
+    n = os.environ.get("NUM_PROCESSES") or os.environ.get("SLURM_NTASKS")
+    pid = os.environ.get("PROCESS_ID") or os.environ.get("SLURM_PROCID")
+    if not coord or not n or int(n) <= 1:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(n),
+        process_id=int(pid or 0),
+    )
+    return True
+
+
 def make_mesh(
     data: Optional[int] = None,
     space: int = 1,
