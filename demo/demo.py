@@ -56,7 +56,10 @@ def build(args):
         out = model.apply(variables, img, train=False)
         scores = jax.nn.sigmoid(out["pred_logits"][-1].astype(jnp.float32))
         cls = scores.argmax(-1)
-        s, xyxy, keep = nms_topk(scores.max(-1), out["pred_boxes"][-1], topk=100)
+        s, xyxy, keep = nms_topk(
+            scores.max(-1), out["pred_boxes"][-1],
+            topk=min(100, args.num_queries),
+        )
         return s, xyxy, keep, cls
 
     return lambda img: _infer(variables, img)
@@ -75,9 +78,66 @@ def draw(img: np.ndarray, boxes, scores, keep, thresh) -> np.ndarray:
     return np.asarray(im)
 
 
+VIDEO_EXTS = {".mp4", ".avi", ".mov", ".mkv", ".webm"}
+
+
+def run_video(args, infer, tracker):
+    """Video-file inference (reference demo/demo.py --video-input path:
+    cv2.VideoCapture + VideoWriter).  Decode of frame N+1 overlaps device
+    compute of frame N because JAX dispatch is async."""
+    import cv2
+
+    cap = cv2.VideoCapture(args.input)
+    if not cap.isOpened():
+        raise SystemExit(f"cannot open video {args.input}")
+    fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+    os.makedirs(args.output, exist_ok=True)
+    out_path = os.path.join(
+        args.output, Path(args.input).stem + "_det.mp4"
+    )
+    writer = None
+    s = args.image_size
+    n, t0 = 0, time.time()
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        img = frame[..., ::-1]  # BGR -> RGB
+        inp = np.asarray(
+            Image.fromarray(img).resize((s, s))
+        ).astype(np.float32)
+        scores, boxes, keep, cls = infer(inp[None])
+        b = np.asarray(boxes[0])
+        s_ = np.asarray(scores[0])
+        k_ = np.asarray(keep[0])
+        if tracker is not None:
+            sel = k_ & (s_ > args.score_thresh)
+            tracks = tracker.update(
+                b[sel], np.asarray(cls[0])[: len(b)][sel], s_[sel]
+            )
+            b = np.stack([t.box for t in tracks]) if tracks else np.zeros((0, 4))
+            s_ = np.asarray([t.track_id + t.score / 10 for t in tracks])
+            k_ = np.ones(len(b), bool)
+        vis = draw(np.ascontiguousarray(img), b, s_, k_,
+                   0.0 if tracker else args.score_thresh)
+        if writer is None:
+            writer = cv2.VideoWriter(
+                out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                (vis.shape[1], vis.shape[0]),
+            )
+        writer.write(vis[..., ::-1])
+        n += 1
+    cap.release()
+    if writer is not None:
+        writer.release()
+    dt = time.time() - t0
+    print(f"{n} frames in {dt:.1f}s ({n / max(dt, 1e-6):.1f} fps) -> {out_path}")
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--input", required=True, help="image file or directory")
+    p.add_argument("--input", required=True,
+                   help="image file, directory, or video file")
     p.add_argument("--output", default="output/demo")
     p.add_argument("--weights", default="")
     p.add_argument("--num-classes", type=int, default=20)
@@ -98,7 +158,15 @@ def main():
 
         tracker = TRACKERS[args.track]()
 
+    if not os.path.exists(args.input):
+        raise SystemExit(f"input not found: {args.input}")
     infer = build(args)
+    if (
+        os.path.isfile(args.input)
+        and Path(args.input).suffix.lower() in VIDEO_EXTS
+    ):
+        run_video(args, infer, tracker)
+        return
     os.makedirs(args.output, exist_ok=True)
     paths = (
         sorted(Path(args.input).glob("*"))

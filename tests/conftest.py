@@ -20,3 +20,18 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+try:  # JAX >= 0.4.34: works even when XLA_FLAGS came too late
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass
+
+import pytest  # noqa: E402
+
+
+def requires_devices(n: int):
+    """Skip when the CPU mesh could not be virtualized (e.g. a site hook
+    initialized the backend before our flags took effect)."""
+    return pytest.mark.skipif(
+        jax.device_count() < n,
+        reason=f"needs {n} devices, have {jax.device_count()}",
+    )

@@ -7,8 +7,10 @@ from jax.sharding import PartitionSpec as P
 
 from ir_ads_tpu.parallel.halo import halo_exchange, spatial_shard_apply
 from ir_ads_tpu.parallel.mesh import make_mesh
+from tests.conftest import requires_devices
 
 
+@requires_devices(8)
 def test_halo_exchange_rows():
     mesh = make_mesh(data=2, space=4)
     x = jnp.arange(16.0).reshape(16, 1, 1)  # H=16 over 4 shards of 4
@@ -27,6 +29,7 @@ def test_halo_exchange_rows():
     np.testing.assert_array_equal(out[3][-2:], [0, 0])
 
 
+@requires_devices(8)
 def test_spatially_sharded_conv_matches_unsharded():
     mesh = make_mesh(data=2, space=4)
     rng = np.random.RandomState(0)
