@@ -19,11 +19,22 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_default_matmul_precision", "highest")
-try:  # JAX >= 0.4.34: works even when XLA_FLAGS came too late
-    jax.config.update("jax_num_cpu_devices", 8)
-except Exception:
+# A site hook (e.g. a TPU-relay plugin) may have initialized the backend at
+# interpreter startup, before the env vars above could take effect.  In that
+# case reset and rebuild as CPU with 8 virtual devices so the suite runs the
+# same everywhere.
+try:
+    if jax.devices()[0].platform != "cpu" or jax.device_count() < 8:
+        import jax.extend.backend as _jeb
+
+        _jeb.clear_backends()
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+        assert jax.device_count() == 8
+except Exception:  # pragma: no cover - leave whatever backend exists
     pass
+
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import pytest  # noqa: E402
 
