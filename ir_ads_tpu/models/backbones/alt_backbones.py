@@ -281,9 +281,14 @@ class InternImage(nn.Module):
         return outs
 
 
+from ir_ads_tpu.models.projects.mvit import MViT  # noqa: E402
+from ir_ads_tpu.models.projects.vitdet import ViTDet  # noqa: E402
+
 BACKBONES = {
     "convnext": ConvNeXt,
     "focalnet": FocalNet,
     "vit": ViT,
     "internimage": InternImage,
+    "mvit": MViT,
+    "vitdet": ViTDet,
 }

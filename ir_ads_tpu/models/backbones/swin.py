@@ -38,7 +38,10 @@ from ir_ads_tpu.ops.layers import (
     kaiming_uniform_init,
     trunc_normal_init,
 )
-from ir_ads_tpu.ops.pallas_swin import fused_window_attention, shift_region_ids
+from ir_ads_tpu.ops.pallas_swin import (
+    fused_window_attention_qkv,
+    shift_region_ids,
+)
 from ir_ads_tpu.ops.window_attention import (
     gather_rel_pos_bias,
     shift_window_mask,
@@ -87,20 +90,25 @@ class WindowMSA(nn.Module):
             kernel_init=trunc_normal_init(),
             name="qkv",
         )(x)
-        qkv = qkv.reshape(bn, n, 3, self.num_heads, head_dim)
-        q, k, v = (
-            qkv[:, :, 0].transpose(0, 2, 1, 3),
-            qkv[:, :, 1].transpose(0, 2, 1, 3),
-            qkv[:, :, 2].transpose(0, 2, 1, 3),
-        )
         bias = gather_rel_pos_bias(table, ws, ws)  # (heads, N, N)
         if self.attn_impl == "pallas":
+            # v2 fused kernel: heads stay in the lane dim, the qkv tensor is
+            # consumed exactly as the projection produced it (no transposes,
+            # no D/N padding), attention matrices never touch HBM
             if region is None:
                 region = jnp.zeros((1, n), jnp.int32)
-            out = fused_window_attention(q, k, v, bias, region, scale)
+            out = fused_window_attention_qkv(
+                qkv, bias, region, scale, self.num_heads
+            )
         else:
+            qkv = qkv.reshape(bn, n, 3, self.num_heads, head_dim)
+            q, k, v = (
+                qkv[:, :, 0].transpose(0, 2, 1, 3),
+                qkv[:, :, 1].transpose(0, 2, 1, 3),
+                qkv[:, :, 2].transpose(0, 2, 1, 3),
+            )
             out = window_attention(q, k, v, bias, mask, scale)
-        out = out.transpose(0, 2, 1, 3).reshape(bn, n, c)
+            out = out.transpose(0, 2, 1, 3).reshape(bn, n, c)
         out = nn.Dense(
             c, dtype=self.dtype, kernel_init=trunc_normal_init(), name="proj"
         )(out)
@@ -119,7 +127,7 @@ class ShiftWindowMSA(nn.Module):
     shift_size: int = 0
     drop_path_rate: float = 0.0
     proj_drop: float = 0.0
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -139,6 +147,17 @@ class ShiftWindowMSA(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
         hp, wp = h + pad_b, w + pad_r
 
+        # "auto" = fused Pallas kernel on TPU (1.41x whole-model forward at
+        # bench shapes), plain XLA elsewhere (CPU tests / multichip dryrun).
+        attn_impl = self.attn_impl
+        if attn_impl == "auto":
+            attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # the fused kernel unrolls over heads inside one grid step; past 16
+        # heads (Swin stage 4, c>=1024) Mosaic compilation blows up while the
+        # stage is tiny anyway — fall back to plain XLA there
+        if attn_impl == "pallas" and self.num_heads > 16:
+            attn_impl = "xla"
+
         mask = region = None
         if shift > 0:
             x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
@@ -146,7 +165,7 @@ class ShiftWindowMSA(nn.Module):
             # and expand the dense (nW, N, N) mask on device — the dense
             # version baked ~10MB of constants into the HLO at 480p
             region = jnp.asarray(shift_region_ids(hp, wp, ws, shift))
-            if self.attn_impl != "pallas":
+            if attn_impl != "pallas":
                 neq = region[:, :, None] != region[:, None, :]
                 mask = jnp.where(neq, -100.0, 0.0).astype(jnp.float32)
                 region = None
@@ -157,7 +176,7 @@ class ShiftWindowMSA(nn.Module):
             num_heads=self.num_heads,
             window_size=ws,
             proj_drop=self.proj_drop,
-            attn_impl=self.attn_impl,
+            attn_impl=attn_impl,
             dtype=self.dtype,
             name="w_msa",
         )(wins, mask, deterministic, region)
@@ -228,7 +247,7 @@ class SwinBlockAdapter(nn.Module):
     drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     adapter_ratio: float = 0.0625
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -301,7 +320,7 @@ class SwinBlockPair(nn.Module):
     window_size: int
     drop_rate: float = 0.0
     adapter_ratio: float = 0.0625
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -351,7 +370,7 @@ class SwinStage(nn.Module):
     downsample: bool
     adapter_ratio: float = 0.0625
     use_remat: bool = False
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -755,7 +774,7 @@ class SwinTransformer(nn.Module):
     dscf_ratio: float = 0.125
     use_remat: bool = False
     mmst_mask: bool = True
-    attn_impl: str = "xla"  # "pallas" = fused TPU kernel
+    attn_impl: str = "auto"  # "pallas" = fused TPU kernel
     dual_batch: bool = False  # opt-in: both streams in one pass (wins at small batch)
     dtype: Optional[Dtype] = None
 

@@ -183,6 +183,153 @@ def _fused_bwd(scale, res, g):
 fused_window_attention.defvjp(_fused_fwd, _fused_bwd)
 
 
+# --------------------------------------------------------------------------
+# v2 kernel: lane-resident heads, no D/N padding of the HBM operands.
+#
+# The v1 kernel above rounds D 32->128 and N 144->256 (Mosaic alignment the
+# easy way), which multiplies both HBM traffic and MXU work ~7x — measured
+# slower than plain XLA.  v2 keeps q/k/v packed exactly as the qkv projection
+# produces them, (B*nW, N, 3C) with heads living in the lane dimension, so
+# the only HBM traffic is one read of qkv and one write of the output; the
+# (N, N) attention matrices never leave VMEM.  Per-head lane slices are
+# VMEM-local relayouts, which profiling shows are far cheaper than the HBM
+# round-trips they replace (dev/profile_components.py: stage-1 W-MSA 7.1ms
+# XLA, attention matrices alone ~370MB/block of HBM traffic).
+# --------------------------------------------------------------------------
+
+
+def _attn_kernel_v2(qkv_ref, bias_ref, region_ref, o_ref, *, scale, heads):
+    """One chunk of G windows, ALL heads.
+
+    qkv: (G, N, 3C) VMEM; bias: (heads, N, N) f32; region: (G, N) int32;
+    out: (G, N, C).
+    """
+    qkv = qkv_ref[...]
+    g, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // heads
+    region = region_ref[...]
+    neq = region[:, :, None] != region[:, None, :]  # (G, N, N)
+    outs = []
+    for h in range(heads):
+        # native-dtype operands + f32 accumulation: same contraction
+        # semantics as the XLA reference path (bf16 runs the MXU at
+        # full rate; an f32 upcast here measured ~15% slower)
+        q = qkv[:, :, h * d : (h + 1) * d]
+        k = qkv[:, :, c + h * d : c + (h + 1) * d]
+        v = qkv[:, :, 2 * c + h * d : 2 * c + (h + 1) * d]
+        s = jax.lax.dot_general(
+            (q * scale).astype(q.dtype),
+            k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (G, N, N) f32, VMEM-only
+        s = s + bias_ref[h][None]
+        s = jnp.where(neq, s - 1e9, s)
+        p = jax.nn.softmax(s, axis=-1)
+        outs.append(
+            jax.lax.dot_general(
+                p.astype(v.dtype),
+                v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(o_ref.dtype)
+        )
+    o_ref[...] = jnp.concatenate(outs, axis=-1)
+
+
+def pallas_window_attention_qkv(
+    qkv: jax.Array,  # (B*nW, N, 3C) — the qkv projection output, unsplit
+    bias: jax.Array,  # (heads, N, N)
+    region: Optional[jax.Array],  # (nW, N) int32 or None (no shift)
+    scale: float,
+    heads: int,
+    window_chunk: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused W-MSA/SW-MSA core: returns (B*nW, N, C) attention output with
+    heads re-packed in the lane dim, ready for the output projection."""
+    bn, n, c3 = qkv.shape
+    c = c3 // 3
+    # >=8 windows per chunk (Mosaic sublane rule on the (g, N) region block);
+    # smaller chunks for wide channels to bound VMEM
+    g = window_chunk or max(8, 2048 // c)
+    bn_pad = _round_up(bn, g)
+
+    qkv_p = jnp.pad(qkv, ((0, bn_pad - bn), (0, 0), (0, 0)))
+    if region is None:
+        region_full = jnp.zeros((bn_pad, n), jnp.int32)
+    else:
+        nw = region.shape[0]
+        region_full = jnp.tile(region, (bn // nw, 1))
+        region_full = jnp.pad(
+            region_full, ((0, bn_pad - bn), (0, 0)), constant_values=-1
+        )
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_v2, scale=scale, heads=heads),
+        out_shape=jax.ShapeDtypeStruct((bn_pad, n, c), qkv.dtype),
+        grid=(bn_pad // g,),
+        in_specs=[
+            pl.BlockSpec((g, n, c3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, n, n), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, n, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qkv_p, bias.astype(jnp.float32), region_full)
+    return out[:bn]
+
+
+def _qkv_reference(qkv, bias, region, scale, heads):
+    """XLA twin of the v2 kernel (also its backward)."""
+    bn, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // heads
+
+    def split(t):  # (bn, n, c) -> (bn, heads, n, d)
+        return t.reshape(bn, n, heads, d).transpose(0, 2, 1, 3)
+
+    q, k, v = (split(qkv[..., i * c : (i + 1) * c]) for i in range(3))
+    if region is None:
+        mask = None
+    else:
+        neq = region[:, :, None] != region[:, None, :]
+        mask = jnp.where(neq, -1e9, 0.0).astype(jnp.float32)
+    out = xla_window_attention(q, k, v, bias, mask, scale)
+    return out.transpose(0, 2, 1, 3).reshape(bn, n, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_window_attention_qkv(qkv, bias, region, scale, heads):
+    """v2 Pallas forward + XLA-recompute backward.
+
+    qkv: (B*nW, N, 3C); bias: (heads, N, N); region: (nW, N) int32 ids or
+    zeros; returns (B*nW, N, C)."""
+    return pallas_window_attention_qkv(qkv, bias, region, scale, heads)
+
+
+def _fused_qkv_fwd(qkv, bias, region, scale, heads):
+    out = pallas_window_attention_qkv(qkv, bias, region, scale, heads)
+    return out, (qkv, bias, region)
+
+
+def _fused_qkv_bwd(scale, heads, res, g):
+    qkv, bias, region = res
+    _, vjp = jax.vjp(
+        lambda a, b: _qkv_reference(a, b, region, scale, heads), qkv, bias
+    )
+    dqkv, dbias = vjp(g)
+    return dqkv, dbias, jnp.zeros_like(region)
+
+
+fused_window_attention_qkv.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
+
+
 @functools.lru_cache(maxsize=None)
 def shift_region_ids(hp: int, wp: int, ws: int, shift: int) -> np.ndarray:
     """Per-token shift-region ids, (nW, ws*ws) int32.

@@ -71,6 +71,68 @@ def test_fused_vjp_matches_xla_grads(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_qkv_kernel_matches_reference_shifted():
+    rng = np.random.RandomState(3)
+    ws, heads, d, hp, wp, b = 4, 2, 8, 8, 12, 3
+    n = ws * ws
+    c = heads * d
+    nw = (hp // ws) * (wp // ws)
+    qkv = jnp.asarray(rng.randn(b * nw, n, 3 * c).astype(np.float32))
+    bias = jnp.asarray(rng.randn(heads, n, n).astype(np.float32))
+    region = jnp.asarray(shift_region_ids(hp, wp, ws, ws // 2))
+    ref = pallas_swin._qkv_reference(qkv, bias, region, 0.25, heads)
+    out = pallas_swin.pallas_window_attention_qkv(
+        qkv, bias, region, 0.25, heads, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_qkv_kernel_matches_reference_noshift():
+    rng = np.random.RandomState(4)
+    heads, d, n = 3, 8, 16
+    c = heads * d
+    qkv = jnp.asarray(rng.randn(10, n, 3 * c).astype(np.float32))
+    bias = jnp.asarray(rng.randn(heads, n, n).astype(np.float32))
+    ref = pallas_swin._qkv_reference(qkv, bias, None, 0.25, heads)
+    out = pallas_swin.pallas_window_attention_qkv(
+        qkv, bias, None, 0.25, heads, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_qkv_fused_vjp_matches_reference_grads(monkeypatch):
+    orig = pallas_swin.pallas_window_attention_qkv
+    monkeypatch.setattr(
+        pallas_swin,
+        "pallas_window_attention_qkv",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+    )
+    rng = np.random.RandomState(5)
+    ws, heads, d, hp, wp, b = 4, 2, 8, 8, 12, 2
+    n = ws * ws
+    c = heads * d
+    nw = (hp // ws) * (wp // ws)
+    qkv = jnp.asarray(rng.randn(b * nw, n, 3 * c).astype(np.float32))
+    bias = jnp.asarray(rng.randn(heads, n, n).astype(np.float32))
+    region = jnp.asarray(shift_region_ids(hp, wp, ws, ws // 2))
+
+    def loss_fused(qkv, bias):
+        return jnp.sum(
+            pallas_swin.fused_window_attention_qkv(qkv, bias, region, 0.25, heads)
+            ** 2
+        )
+
+    def loss_ref(qkv, bias):
+        return jnp.sum(
+            pallas_swin._qkv_reference(qkv, bias, region, 0.25, heads) ** 2
+        )
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(qkv, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+    for a, b_ in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
 def test_region_ids_equivalent_to_dense_mask():
     hp, wp, ws, shift = 24, 36, 12, 6
     region = shift_region_ids(hp, wp, ws, shift)
