@@ -54,48 +54,57 @@ def main():
     init_s = time.time() - t0
 
     @jax.jit
-    def _forward(v, r, d):
-        y, _, _ = model.apply(v, r, d, train=False)
-        return y
-
-    def forward(r, d):
-        # params as runtime args: a closure would embed ~180M params as
-        # HLO constants (hundreds of MB -> remote-compile 413)
-        return _forward(variables, r, d)
-
-    predict = make_sliding_window_fn(
-        forward, IMAGE, TILE, NUM_CLASSES, overlap=1.0 / 3.0, flip=True,
-        fuse=False,  # compile-service payload cap: keep programs small
-    )
+    def _predict(v, r, d):
+        # ONE program for extract + forward + flip-ensemble + overlap-add:
+        # the split (3-program) path measured ~50 ms/iter of dispatch
+        # serialization through the runtime relay.  ``v`` is a tracer here,
+        # so model params stay runtime arguments (a concrete closure would
+        # embed ~180M params as HLO constants -> remote-compile 413).
+        fwd = lambda rr, dd: model.apply(v, rr, dd, train=False)[0]
+        fn = make_sliding_window_fn(
+            fwd, IMAGE, TILE, NUM_CLASSES, overlap=1.0 / 3.0, flip=True,
+            fuse=True,
+        )
+        return fn(r, d)
 
     key = jax.random.PRNGKey(1)
     rgb = jax.random.normal(key, (BATCH, *IMAGE, 3), jnp.bfloat16)
     dte = jax.random.normal(key, (BATCH, *IMAGE, 3), jnp.bfloat16)
 
+    # honest timing: iterate ON DEVICE (scan with a data dependency between
+    # frames — frame i must finish before i+1 starts) and fetch one scalar,
+    # then take the 2-point slope over iteration counts so constant costs
+    # (dispatch, fetch RTT, first-call sync) cancel.  block_until_ready can
+    # report early through remote-execution relays, and per-iteration host
+    # fetches add 20-30ms RTT each — both would distort the number.
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def many(n, v, r, d):
+        def body(carry, _):
+            r, _ = carry
+            out = _predict(v, r, d)
+            s = jnp.sum(out)  # scalar checksum carries the dependency
+            return (rgb + (s * 0.0).astype(r.dtype), s), None
+
+        (_, s_last), _ = jax.lax.scan(body, (r, jnp.float32(0)), None, length=n)
+        return s_last
+
     t0 = time.time()
-    out = predict(rgb, dte)
-    checksum = float(jnp.sum(out))  # full device->host sync
+    checksum = float(many(2, variables, rgb, dte))  # compiles short program
     compile_s = time.time() - t0
-    for _ in range(WARMUP - 1):
-        float(jnp.sum(predict(rgb, dte)))
-
-    # honest timing without per-iteration host RTT: chain iterations through
-    # a data dependency (device must finish frame i before starting i+1) and
-    # fetch once at the end.  (block_until_ready alone can report early
-    # through the remote-execution relay; per-iter fetches add ~20ms RTT.)
-    @jax.jit
-    def chain_input(rgb, out):
-        return rgb + (jnp.sum(out) * 0.0).astype(rgb.dtype)
+    check_long = float(many(ITERS, variables, rgb, dte))  # compiles long one
+    # every iteration computes the same frame: checksums must agree
+    assert abs(check_long - checksum) < abs(checksum) * 1e-2 + 1e-3
 
     t0 = time.time()
-    r = rgb
-    for _ in range(ITERS):
-        out = predict(r, dte)
-        r = chain_input(rgb, out)
-    final = float(jnp.sum(out))
-    dt = time.time() - t0
-    assert abs(final - checksum) < abs(checksum) * 1e-2 + 1e-3
-    fps = ITERS * BATCH / dt
+    float(many(2, variables, rgb, dte))
+    t_short = time.time() - t0
+    t0 = time.time()
+    float(many(ITERS, variables, rgb, dte))
+    t_long = time.time() - t0
+    dt = (t_long - t_short) / (ITERS - 2)
+    fps = BATCH / dt
 
     print(
         json.dumps(
@@ -112,7 +121,7 @@ def main():
                     "dtype": "bfloat16",
                     "init_s": round(init_s, 1),
                     "compile_s": round(compile_s, 1),
-                    "p50_latency_ms": round(1000.0 * dt / ITERS, 1),
+                    "p50_latency_ms": round(1000.0 * dt, 1),
                     "device": str(jax.devices()[0]),
                     "baseline_note": "est. A100 PyTorch fp16 ~57 fps (no published number)",
                 },

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ir_ads_tpu.ops.grid_sample import grid_sample, make_ref_grid
+from ir_ads_tpu.ops.grid_sample import grid_sample_matmul, make_ref_grid
 from ir_ads_tpu.ops.layers import (
     DropPath,
     Mlp,
@@ -574,9 +574,12 @@ class DAttentionMM(nn.Module):
         pos_x = jnp.clip(x_offset.astype(jnp.float32) + ref, -1.0, 1.0)
         pos_y = jnp.clip(y_offset.astype(jnp.float32) + ref, -1.0, 1.0)
 
-        # sample each of x / y / q at both offset fields (grid wants (x, y))
+        # sample each of x / y / q at both offset fields (grid wants (x, y)).
+        # matmul formulation: n is small (~300) and shared across queries, so
+        # separable hat-weight contractions beat gathers ~30x here (exact —
+        # see grid_sample_matmul)
         def sample(feat, pos):
-            return grid_sample(
+            return grid_sample_matmul(
                 group_view(feat), pos[..., ::-1], align_corners=True
             ).reshape(b, g, n, gc)
 
@@ -642,24 +645,27 @@ class DAttentionMM(nn.Module):
             scalar gathers here and dominated the whole forward (~700ms on
             v5e); the matmul form is ~10 GMACs (tests/test_swin_parity.py +
             test_dscf_rpe.py verify exact equivalence)."""
+            # intermediates are pure bandwidth (the matmuls are ~10 GMACs);
+            # in bf16 mode store them half-width — accumulation stays f32
+            store = self.dtype or jnp.float32
             pf = pos.reshape(b * g, n, 2)
             iy = (0.5 * (qy[None, None, :] - pf[:, :, 0:1]) + 1.0) * 0.5 * (s1 - 1)
             ix = (0.5 * (qx[None, None, :] - pf[:, :, 1:2]) + 1.0) * 0.5 * (s2 - 1)
             wy = jnp.maximum(
                 0.0, 1.0 - jnp.abs(iy[..., None] - jnp.arange(s1, dtype=jnp.float32))
-            )  # (B*g, n, h, S1)
+            ).astype(store)  # (B*g, n, h, S1)
             wx = jnp.maximum(
                 0.0, 1.0 - jnp.abs(ix[..., None] - jnp.arange(s2, dtype=jnp.float32))
-            )  # (B*g, n, w, S2)
+            ).astype(store)  # (B*g, n, w, S2)
             tb = jnp.broadcast_to(
-                table[None].astype(jnp.float32), (b, g, s1, s2, hg)
+                table[None].astype(store), (b, g, s1, s2, hg)
             ).reshape(b * g, s1, s2, hg)
             u = jnp.einsum(
                 "bste,bnct->bncse", tb, wx, preferred_element_type=jnp.float32
-            )  # (B*g, n, w, S1, hg)
+            ).astype(store)  # (B*g, n, w, S1, hg)
             bias = jnp.einsum(
                 "bnrs,bncse->brcne", wy, u, preferred_element_type=jnp.float32
-            )  # (B*g, h, w, n, hg)
+            ).astype(store)  # (B*g, h, w, n, hg)
             return bias.reshape(b * g, h * w, n, hg)
 
         bias_x = rpe_bias(pos_x)

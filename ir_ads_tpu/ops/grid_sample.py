@@ -80,6 +80,60 @@ def grid_sample(
     return out.astype(img.dtype)
 
 
+def grid_sample_matmul(
+    img: jax.Array,
+    grid: jax.Array,
+    align_corners: bool = True,
+) -> jax.Array:
+    """Exact bilinear sampling as two separable hat-weight contractions.
+
+    Bilinear interpolation factorizes per axis: the 4-corner weight of tap
+    (X, Y) for a sample at (ix, iy) is hat(ix-X)*hat(iy-Y) with
+    hat(t)=max(0, 1-|t|), and torch's zeros-padding drops out-of-bounds
+    corners — which the hat weights do per axis automatically (weight 0
+    outside [0, size-1], partial weight in the half-open border cell).  So
+
+        out[p, c] = sum_Y hat(iy_p-Y) * sum_X hat(ix_p-X) * img[Y, X, c]
+
+    is EXACTLY ``grid_sample(img, grid, padding_mode='zeros')`` but runs as
+    two small matmuls on the MXU instead of 4 gathers on the scalar path.
+    On v5e the DAttentionMM sampling shapes (300 points from 120x160x16)
+    drop ~30x: 1.49 ms -> matmul noise floor (dev/profile_components.py).
+
+    Only profitable when the number of sample points is small and shared
+    across outputs (deformable cross-modal fusion); for per-query sampling
+    (MSDeformAttn, DCNv3) the (points, W) weight matrices would dwarf the
+    gathers — keep ``grid_sample`` there.
+
+    Args / returns: same convention as ``grid_sample`` (grid last dim is
+    (x, y) in [-1, 1]); returns (B, Hg, Wg, C) in ``img.dtype``.
+    """
+    b, h, w, c = img.shape
+    _, hg_out, wg_out, _ = grid.shape
+    gx = grid[..., 0].astype(jnp.float32).reshape(b, -1)  # (B, n)
+    gy = grid[..., 1].astype(jnp.float32).reshape(b, -1)
+
+    if align_corners:
+        ix = (gx + 1.0) * 0.5 * (w - 1)
+        iy = (gy + 1.0) * 0.5 * (h - 1)
+    else:
+        ix = ((gx + 1.0) * w - 1.0) * 0.5
+        iy = ((gy + 1.0) * h - 1.0) * 0.5
+
+    wx = jnp.maximum(
+        0.0, 1.0 - jnp.abs(ix[..., None] - jnp.arange(w, dtype=jnp.float32))
+    )  # (B, n, W)
+    wy = jnp.maximum(
+        0.0, 1.0 - jnp.abs(iy[..., None] - jnp.arange(h, dtype=jnp.float32))
+    )  # (B, n, H)
+
+    t = jnp.einsum(
+        "bnw,bhwc->bnhc", wx, img, preferred_element_type=jnp.float32
+    )
+    out = jnp.einsum("bnh,bnhc->bnc", wy, t, preferred_element_type=jnp.float32)
+    return out.reshape(b, hg_out, wg_out, c).astype(img.dtype)
+
+
 def make_ref_grid(h: int, w: int, batch: int, centered: bool = True) -> jax.Array:
     """Reference grid of normalized (y, x) coordinates, (B, H, W, 2).
 

@@ -210,7 +210,6 @@ def _attn_kernel_v2(qkv_ref, bias_ref, region_ref, o_ref, *, scale, heads):
     d = c // heads
     region = region_ref[...]
     neq = region[:, :, None] != region[:, None, :]  # (G, N, N)
-    outs = []
     for h in range(heads):
         # native-dtype operands + f32 accumulation: same contraction
         # semantics as the XLA reference path (bf16 runs the MXU at
@@ -227,15 +226,15 @@ def _attn_kernel_v2(qkv_ref, bias_ref, region_ref, o_ref, *, scale, heads):
         s = s + bias_ref[h][None]
         s = jnp.where(neq, s - 1e9, s)
         p = jax.nn.softmax(s, axis=-1)
-        outs.append(
-            jax.lax.dot_general(
-                p.astype(v.dtype),
-                v,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).astype(o_ref.dtype)
-        )
-    o_ref[...] = jnp.concatenate(outs, axis=-1)
+        # store straight into the head's lane slice: keeps only ONE head's
+        # f32 score matrix live at a time (a gathered outs-list +
+        # concatenate held all of them -> scoped-vmem OOM at 16 heads)
+        o_ref[:, :, h * d : (h + 1) * d] = jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
 
 
 def pallas_window_attention_qkv(

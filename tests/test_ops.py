@@ -56,6 +56,28 @@ def test_grid_sample_matches_torch_no_align():
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
 
 
+def test_grid_sample_matmul_matches_torch():
+    """The separable hat-weight formulation is exactly torch grid_sample
+    (zeros padding), including out-of-bounds partial-weight cells."""
+    from ir_ads_tpu.ops.grid_sample import grid_sample_matmul
+
+    rng = np.random.RandomState(7)
+    img = rng.randn(2, 9, 13, 5).astype(np.float32)
+    grid = (rng.rand(2, 7, 4, 2).astype(np.float32) * 2.4) - 1.2  # incl. OOB
+    for align in (True, False):
+        ours = grid_sample_matmul(
+            jnp.asarray(img), jnp.asarray(grid), align_corners=align
+        )
+        ref = TF.grid_sample(
+            torch.from_numpy(img).permute(0, 3, 1, 2),
+            torch.from_numpy(grid),
+            mode="bilinear",
+            padding_mode="zeros",
+            align_corners=align,
+        ).permute(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
+
+
 def test_grid_sample_grad_matches_torch():
     rng = np.random.RandomState(2)
     img = rng.randn(1, 5, 5, 2).astype(np.float32)
