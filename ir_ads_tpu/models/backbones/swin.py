@@ -525,6 +525,7 @@ class DAttentionMM(nn.Module):
     ksize: int = 9
     level: int = 0
     rpe_size: Tuple[int, int] = (60, 80)  # reference default q_size
+    attn_impl: str = "auto"  # "auto" | "pallas" | "xla"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -608,14 +609,6 @@ class DAttentionMM(nn.Module):
         k = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_k")(sampled)
         v = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_v")(sampled)
 
-        qh = q.reshape(b, h * w, heads, hc).transpose(0, 2, 1, 3)
-        kh = k.reshape(b, 2 * n, heads, hc).transpose(0, 2, 1, 3)
-        vh = v.reshape(b, 2 * n, heads, hc).transpose(0, 2, 1, 3)
-        attn = (
-            jnp.einsum("bhmd,bhnd->bhmn", qh, kh, preferred_element_type=jnp.float32)
-            * scale
-        )
-
         # continuous relative position bias sampled from a fixed-size table
         rh, rw = self.rpe_size
         rpe_table = self.param(
@@ -633,7 +626,7 @@ class DAttentionMM(nn.Module):
         qy = jnp.arange(h, dtype=jnp.float32) / max(h - 1, 1) * 2.0 - 1.0
         qx = jnp.arange(w, dtype=jnp.float32) / max(w - 1, 1) * 2.0 - 1.0
 
-        def rpe_bias(pos):  # pos: (B*g, Hk, Wk, 2) as (y, x)
+        def rpe_bias(pos, head_minor=False):  # pos: (B*g, Hk, Wk, 2) as (y, x)
             """Bilinear table sampling as two MXU contractions.
 
             The sample displacement (q_i - pos_j)/2 separates into a
@@ -646,7 +639,12 @@ class DAttentionMM(nn.Module):
             v5e); the matmul form is ~10 GMACs (tests/test_swin_parity.py +
             test_dscf_rpe.py verify exact equivalence)."""
             # intermediates are pure bandwidth (the matmuls are ~10 GMACs);
-            # in bf16 mode store them half-width — accumulation stays f32
+            # in bf16 mode store them half-width — accumulation stays f32.
+            # NOTE: a "one flat (b*n*c, S2) @ (S2, S1*hg) matmul per group"
+            # rewrite measured 2.5x faster in isolation but 1.7x SLOWER in
+            # context (XLA already flattens the broadcast-batched einsum and
+            # fuses the hat-weight construction into it; the manual form
+            # forced relayouts) — keep the einsum form.
             store = self.dtype or jnp.float32
             pf = pos.reshape(b * g, n, 2)
             iy = (0.5 * (qy[None, None, :] - pf[:, :, 0:1]) + 1.0) * 0.5 * (s1 - 1)
@@ -663,29 +661,86 @@ class DAttentionMM(nn.Module):
             u = jnp.einsum(
                 "bste,bnct->bncse", tb, wx, preferred_element_type=jnp.float32
             ).astype(store)  # (B*g, n, w, S1, hg)
+            order = "brcen" if head_minor else "brcne"
             bias = jnp.einsum(
-                "bnrs,bncse->brcne", wy, u, preferred_element_type=jnp.float32
-            ).astype(store)  # (B*g, h, w, n, hg)
+                f"bnrs,bncse->{order}", wy, u, preferred_element_type=jnp.float32
+            ).astype(store)  # (B*g, h, w, [n, hg] or [hg, n])
+            if head_minor:
+                return bias.reshape(b * g, h * w, hg, n)
             return bias.reshape(b * g, h * w, n, hg)
 
-        bias_x = rpe_bias(pos_x)
-        bias_y = rpe_bias(pos_y)
-        bias = jnp.concatenate([bias_x, bias_y], axis=2)  # (B*g, HW, 2n, hg)
-        bias = (
-            bias.reshape(b, g, h * w, 2 * n, hg)
-            .transpose(0, 1, 4, 2, 3)
-            .reshape(b, heads, h * w, 2 * n)
-        )
-        attn = attn + bias.astype(attn.dtype)
+        # The fused Pallas kernel (ops/pallas_dscf.py) keeps scores + bias in
+        # VMEM, but on-chip A/B at all four level shapes measured it neutral
+        # at L0-L2 and 2x slower at L3 — XLA's fusion of the einsum path is
+        # already good here, so "auto" resolves to XLA.  The kernel remains
+        # selectable (attn_impl="pallas") and equivalence-tested.  Head e of
+        # group gi covers channels [(gi*hg+e)*hc, ...) — group-major, the
+        # packed-layout contract of ops/pallas_dscf.py.
+        attn_impl = self.attn_impl
+        if attn_impl == "auto":
+            attn_impl = "xla"
+        if attn_impl == "pallas":
+            from ir_ads_tpu.ops.pallas_dscf import NEG_INF, dscf_attention
 
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum(
-            "bhmn,bhnd->bhmd",
-            attn.astype(vh.dtype),
-            vh,
-            preferred_element_type=jnp.float32,
-        ).astype(vh.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
+            gc_ = c // g
+            mp = -(-2 * n // 128) * 128
+            bx = rpe_bias(pos_x, head_minor=True)  # (B*g, HW, hg, n)
+            by = rpe_bias(pos_y, head_minor=True)
+            packed = jnp.concatenate([bx, by], axis=-1)  # (B*g, HW, hg, 2n)
+            packed = jnp.pad(
+                packed,
+                ((0, 0), (0, 0), (0, 0), (0, mp - 2 * n)),
+                constant_values=NEG_INF,
+            ).reshape(b * g, h * w, hg * mp)
+
+            def to_groups(t, m):  # (B, M, C) -> (B*g, M, gc)
+                return (
+                    t.reshape(b, m, g, gc_)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(b * g, m, gc_)
+                )
+
+            qg = to_groups(q.reshape(b, h * w, c), h * w)
+            kg = jnp.pad(
+                to_groups(k, 2 * n), ((0, 0), (0, mp - 2 * n), (0, 0))
+            )
+            vg = jnp.pad(
+                to_groups(v, 2 * n), ((0, 0), (0, mp - 2 * n), (0, 0))
+            )
+            out = dscf_attention(qg, kg, vg, packed, scale, hg)
+            out = (
+                out.reshape(b, g, h * w, gc_)
+                .transpose(0, 2, 1, 3)
+                .reshape(b, h, w, c)
+            )
+        else:
+            qh = q.reshape(b, h * w, heads, hc).transpose(0, 2, 1, 3)
+            kh = k.reshape(b, 2 * n, heads, hc).transpose(0, 2, 1, 3)
+            vh = v.reshape(b, 2 * n, heads, hc).transpose(0, 2, 1, 3)
+            attn = (
+                jnp.einsum(
+                    "bhmd,bhnd->bhmn", qh, kh, preferred_element_type=jnp.float32
+                )
+                * scale
+            )
+            bias_x = rpe_bias(pos_x)
+            bias_y = rpe_bias(pos_y)
+            bias = jnp.concatenate([bias_x, bias_y], axis=2)  # (B*g, HW, 2n, hg)
+            bias = (
+                bias.reshape(b, g, h * w, 2 * n, hg)
+                .transpose(0, 1, 4, 2, 3)
+                .reshape(b, heads, h * w, 2 * n)
+            )
+            attn = attn + bias.astype(attn.dtype)
+
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum(
+                "bhmn,bhnd->bhmd",
+                attn.astype(vh.dtype),
+                vh,
+                preferred_element_type=jnp.float32,
+            ).astype(vh.dtype)
+            out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
         out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)
 
         level_weight = (1e-3, 1e-3, 1e-3, 1.0)[self.level]
@@ -710,6 +765,7 @@ class DeformMPGBlock(nn.Module):
     n_heads: int
     level: int
     ratio: float = 0.125
+    attn_impl: str = "auto"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -730,6 +786,7 @@ class DeformMPGBlock(nn.Module):
             n_groups=self.n_groups,
             stride=self.stride,
             level=self.level,
+            attn_impl=self.attn_impl,
             dtype=self.dtype,
             name="deform_atten",
         )(a, bb, train)
@@ -868,6 +925,7 @@ class SwinTransformer(nn.Module):
                     n_heads=self.dscf_heads[i],
                     level=i,
                     ratio=self.dscf_ratio,
+                    attn_impl=self.attn_impl,
                     dtype=self.dtype,
                     name=f"deform_mpg_{i}",
                 )(rgb_out, dte_out, train)
