@@ -147,16 +147,12 @@ class ShiftWindowMSA(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
         hp, wp = h + pad_b, w + pad_r
 
-        # "auto" = fused Pallas kernel on TPU (1.41x whole-model forward at
-        # bench shapes), plain XLA elsewhere (CPU tests / multichip dryrun).
+        # "auto" = fused Pallas kernel on TPU (1.4-5x per attention call at
+        # bench shapes incl. the 32-head stage-4: 0.33 ms vs ~1.7 ms XLA),
+        # plain XLA elsewhere (CPU tests / multichip dryrun).
         attn_impl = self.attn_impl
         if attn_impl == "auto":
             attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-        # the fused kernel unrolls over heads inside one grid step; past 16
-        # heads (Swin stage 4, c>=1024) Mosaic compilation blows up while the
-        # stage is tiny anyway — fall back to plain XLA there
-        if attn_impl == "pallas" and self.num_heads > 16:
-            attn_impl = "xla"
 
         mask = region = None
         if shift > 0:

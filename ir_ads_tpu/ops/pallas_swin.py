@@ -250,9 +250,19 @@ def pallas_window_attention_qkv(
     heads re-packed in the lane dim, ready for the output projection."""
     bn, n, c3 = qkv.shape
     c = c3 // 3
-    # >=8 windows per chunk (Mosaic sublane rule on the (g, N) region block);
-    # smaller chunks for wide channels to bound VMEM
-    g = window_chunk or max(8, 2048 // c)
+    # >=8 windows per chunk (Mosaic sublane rule on the (g, N) region block).
+    # Chunk sizes from an on-chip sweep at the 480p Swin-B shapes with the
+    # raised VMEM cap below: c128 g=64 (0.74 ms vs 1.38 at g=8), c256 g=16,
+    # c512/c1024 g=8 (c1024/32-heads runs 0.33 ms vs ~1.7 ms XLA).
+    if window_chunk:
+        g = window_chunk
+    elif c <= 128:
+        g = 64
+    elif c <= 256:
+        g = 16
+    else:
+        g = 8
+    g = min(g, _round_up(bn, 8))
     bn_pad = _round_up(bn, g)
 
     qkv_p = jnp.pad(qkv, ((0, bn_pad - bn), (0, 0), (0, 0)))
@@ -279,6 +289,12 @@ def pallas_window_attention_qkv(
         ],
         out_specs=pl.BlockSpec((g, n, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        # Mosaic's default 16MB scoped-vmem cap rejects both the larger
+        # chunks and the 32-head (c1024) shape; v5e has 128MB of VMEM and
+        # the double-buffered working set at g=64/c128 is ~25MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(qkv_p, bias.astype(jnp.float32), region_full)
     return out[:bn]
