@@ -9,7 +9,7 @@ flax.linen module with static shapes.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -198,6 +198,23 @@ def adaptive_pad(
     return jnp.pad(x, cfg, constant_values=value)
 
 
+class _Conv2DParams(nn.Module):
+    """Parameter container matching nn.Conv's tree ({kernel, bias}) so a
+    manually-computed convolution keeps checkpoint compatibility."""
+
+    kernel_shape: Tuple[int, int, int, int]  # (kh, kw, Cin, Cout)
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.kernel_shape
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.kernel_shape[-1],)
+        )
+        return k, b
+
+
 class PatchEmbed(nn.Module):
     """Conv patch embedding with corner adaptive padding.
 
@@ -215,14 +232,26 @@ class PatchEmbed(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         p = self.patch_size
         x = adaptive_pad(x, (p, p), (p, p), "corner")
-        x = nn.Conv(
-            self.embed_dim,
-            (p, p),
-            strides=(p, p),
-            padding="VALID",
-            dtype=self.dtype,
-            name="proj",
-        )(x)
+        # kernel == stride: the conv is an exact patchify-reshape + matmul.
+        # XLA's conv lowering for 3-channel stride-p inputs ran ~10x above
+        # the traffic bound (1.28 ms/stream at 480p B=8); the reshape form
+        # goes straight to the MXU.  Parameter tree is identical to nn.Conv
+        # ({proj: {kernel (p,p,Cin,E), bias}}), so checkpoints are unchanged.
+        b, h, w, c = x.shape
+        wk, bias = _Conv2DParams((p, p, c, self.embed_dim), name="proj")()
+        xp = (
+            x.reshape(b, h // p, p, w // p, p, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, h // p, w // p, p * p * c)
+        )
+        wk2 = wk.reshape(p * p * c, self.embed_dim)
+        if self.dtype is not None:
+            xp, wk2, bias = (
+                xp.astype(self.dtype),
+                wk2.astype(self.dtype),
+                bias.astype(self.dtype),
+            )
+        x = xp @ wk2 + bias
         if self.use_norm:
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x
