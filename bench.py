@@ -27,6 +27,9 @@ import jax.numpy as jnp
 
 from ir_ads_tpu.evaluation.semseg_eval import make_sliding_window_fn
 from ir_ads_tpu.models.cmnext import CMNeXt
+from ir_ads_tpu.utils.compile_cache import setup_compilation_cache
+
+setup_compilation_cache()
 
 EST_A100_PYTORCH_FPS = 57.0
 

@@ -27,6 +27,9 @@ from ir_ads_tpu.data.augmentations import IMAGENET_MEAN, IMAGENET_STD, resize_sa
 from ir_ads_tpu.data.datasets import get_dataset
 from ir_ads_tpu.utils.config import load_config
 from ir_ads_tpu.utils.logging import get_logger
+from ir_ads_tpu.utils.compile_cache import setup_compilation_cache
+
+setup_compilation_cache()
 from val_mm import build_eval_model
 
 

@@ -94,14 +94,14 @@ def deeplab_ce_loss(
     if weights is not None:
         pix = pix * weights
     flat = pix.reshape(-1)
-    nvalid = jnp.maximum(jnp.sum(valid), 1)
+    # Reference normalization (DeepLabCE loss.py:33-40): pixel_losses.mean()
+    # divides by ALL pixels — ignored pixels contribute 0 to the numerator
+    # but still count in the denominator; the top-k path divides by k.
     if top_k_percent_pixels >= 1.0:
-        return jnp.sum(flat) / nvalid
+        return jnp.sum(flat) / flat.shape[0]
     k = max(int(top_k_percent_pixels * flat.shape[0]), 1)
     top, _ = jax.lax.top_k(flat, k)
-    # ignored pixels carry 0 loss so they never displace real hard pixels
-    ntop = jnp.minimum(nvalid, k)
-    return jnp.sum(top) / ntop
+    return jnp.sum(top) / k
 
 
 class DeepLabV3Head(nn.Module):

@@ -98,13 +98,17 @@ class MultiScaleAttention(nn.Module):
             preferred_element_type=jnp.float32,
         )
         if self.use_rel_pos:
+            # Table size follows the reference (mvit.py:121-125): full input
+            # resolution divided by the strides — NOT the window size — so
+            # parameter shapes match detectron2 checkpoints even for windowed
+            # blocks; get_rel_pos interpolates down to the runtime extent.
+            size = max(self.input_size)
+            rel_dim = 2 * max(size // self.stride_q, size // self.stride_kv) - 1
             rel_h = self.param(
-                "rel_pos_h", nn.initializers.zeros,
-                (2 * max(q_hw[0], kv_hw[0]) - 1, hd),
+                "rel_pos_h", nn.initializers.zeros, (rel_dim, hd)
             )
             rel_w = self.param(
-                "rel_pos_w", nn.initializers.zeros,
-                (2 * max(q_hw[1], kv_hw[1]) - 1, hd),
+                "rel_pos_w", nn.initializers.zeros, (rel_dim, hd)
             )
             attn = add_decomposed_rel_pos(
                 attn, qf.astype(jnp.float32), rel_h, rel_w, q_hw, kv_hw

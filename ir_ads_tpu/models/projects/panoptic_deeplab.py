@@ -139,17 +139,22 @@ def panoptic_deeplab_losses(
             sem_logits, sem_target, ignore_label, loss_top_k, sem_weights
         )
     }
+    # reference normalization (panoptic_seg.py:551-571): divide by
+    # weights.sum() (NOT the count of non-zero weights — they differ for
+    # non-binary per-pixel weights), zero loss when the weights sum to 0.
     cw = jnp.ones_like(center_target) if center_weights is None else center_weights
     mse = (center_pred[..., 0].astype(jnp.float32) - center_target) ** 2 * cw
-    losses["loss_center"] = center_weight * jnp.sum(mse) / jnp.maximum(
-        jnp.sum(cw > 0), 1
+    cw_sum = jnp.sum(cw)
+    losses["loss_center"] = center_weight * jnp.where(
+        cw_sum > 0, jnp.sum(mse) / jnp.maximum(cw_sum, 1e-12), 0.0
     )
     ow = jnp.ones_like(offset_target[..., 0]) if offset_weights is None else offset_weights
     l1 = jnp.sum(
         jnp.abs(offset_pred.astype(jnp.float32) - offset_target), axis=-1
     ) * ow
-    losses["loss_offset"] = offset_weight * jnp.sum(l1) / jnp.maximum(
-        jnp.sum(ow > 0), 1
+    ow_sum = jnp.sum(ow)
+    losses["loss_offset"] = offset_weight * jnp.where(
+        ow_sum > 0, jnp.sum(l1) / jnp.maximum(ow_sum, 1e-12), 0.0
     )
     return losses
 

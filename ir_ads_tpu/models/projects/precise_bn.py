@@ -27,14 +27,22 @@ def recompute_bn_stats(
     variables: dict,
     batches: Iterable[Tuple],
     *,
+    momentum: float,
     num_iters: int = 200,
 ) -> dict:
     """Return ``variables`` with ``batch_stats`` replaced by the uniform
     average of per-batch statistics over up to ``num_iters`` batches.
 
+    ``momentum`` is REQUIRED and must equal the BatchNorm momentum used by
+    every BN layer in the model (flax default 0.99; ir_ads_tpu heads use
+    0.9).  The inversion below is exact only for that value — a silent
+    mismatch would corrupt the recovered statistics.
+
     ``apply_fn(variables, *batch, train=True, mutable=["batch_stats"])``
     must return ``(outputs, {"batch_stats": ...})`` — the standard flax
     train-mode call."""
+    if not (0.0 < momentum < 1.0):
+        raise ValueError(f"momentum must be in (0,1), got {momentum}")
     if "batch_stats" not in variables:
         return variables
 
@@ -78,10 +86,9 @@ def recompute_bn_stats(
     # conservative exact route: batch_avg = (mutated_avg - old*m) / (1-m).
     old = variables["batch_stats"]
 
+    m = momentum
+
     def invert(o, ma):
-        # infer momentum per-leaf is impossible; use the standard 0.9 used
-        # across ir_ads_tpu heads (ConvBN/_conv_bn_relu/SegFormerHead).
-        m = 0.9
         return (ma - o.astype(jnp.float32) * m) / (1.0 - m)
 
     batch_avg = jax.tree_util.tree_map(invert, old, avg_mutated)

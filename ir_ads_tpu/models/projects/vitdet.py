@@ -159,7 +159,18 @@ class ViTDet(nn.Module):
             self.dim, (p, p), strides=p, dtype=self.dtype, name="patch_embed"
         )(x)
         b, h, w, c = x.shape
-        pos = self.param("pos_embed", trunc_normal_init(0.02), (1, h, w, c))
+        # pos_embed is stored at the pretrain grid (img_size/patch_size) and
+        # resized to the runtime grid like the reference's get_abs_pos
+        # (vit.py/utils.py: bicubic interpolate, align_corners=False); this
+        # keeps parameter shapes checkpoint-compatible across resolutions.
+        # Note: d2 MAE checkpoints carry a cls token in pos_embed — the
+        # importer must drop it before reshaping to the grid.
+        ph = pw = self.img_size // self.patch_size
+        pos = self.param("pos_embed", trunc_normal_init(0.02), (1, ph, pw, c))
+        if (ph, pw) != (h, w):
+            pos = jax.image.resize(
+                pos.astype(jnp.float32), (1, h, w, c), method="cubic"
+            )
         x = x + pos.astype(x.dtype)
         dpr = np.linspace(0, self.drop_path_rate, self.depth)
         for i in range(self.depth):

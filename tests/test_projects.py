@@ -121,7 +121,8 @@ def test_deeplab_ce_loss_matches_manual():
     valid = labels != 255
     safe = jnp.where(valid, labels, 0)
     ce = -jnp.take_along_axis(lp, safe[..., None], -1)[..., 0]
-    want = jnp.sum(jnp.where(valid, ce, 0)) / jnp.sum(valid)
+    # reference DeepLabCE: pixel_losses.mean() -> denominator = ALL pixels
+    want = jnp.sum(jnp.where(valid, ce, 0)) / valid.size
     np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
 
 
@@ -403,7 +404,7 @@ def test_recompute_bn_stats_uniform_average():
 
     new_vars = recompute_bn_stats(
         lambda v, b, train, mutable: m.apply(v, b, train=train, mutable=mutable),
-        variables, batches,
+        variables, batches, momentum=0.9,
     )
     want_mean = np.mean([np.mean(np.asarray(b[0]), 0) for b in batches], 0)
     got_mean = np.asarray(

@@ -40,6 +40,9 @@ from ir_ads_tpu.anomaly import (
 from ir_ads_tpu.anomaly.data import ADConfig, MVTecAD, balanced_batches, test_batches
 from ir_ads_tpu.utils.checkpoint import save_weights
 from ir_ads_tpu.utils.logging import get_logger
+from ir_ads_tpu.utils.compile_cache import setup_compilation_cache
+
+setup_compilation_cache()
 
 
 def auroc(scores: np.ndarray, labels: np.ndarray) -> float:

@@ -35,6 +35,9 @@ from ir_ads_tpu.training.train_state import TrainState, make_train_step
 from ir_ads_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from ir_ads_tpu.utils.config import load_config
 from ir_ads_tpu.utils.logging import ScalarWriter, get_logger
+from ir_ads_tpu.utils.compile_cache import setup_compilation_cache
+
+setup_compilation_cache()
 
 
 def build_model_and_state(cfg, num_classes, rng_seed=3407, sample_hw=(64, 64)):

@@ -34,6 +34,9 @@ from ir_ads_tpu.detection.train import (
 from ir_ads_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from ir_ads_tpu.utils.checkpoint import save_weights, load_weights
 from ir_ads_tpu.utils.logging import ScalarWriter, get_logger
+from ir_ads_tpu.utils.compile_cache import setup_compilation_cache
+
+setup_compilation_cache()
 
 
 def make_synthetic_coco(root: str, n_images=8, size=96, n_classes=4, seed=0):

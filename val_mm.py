@@ -33,6 +33,9 @@ from ir_ads_tpu.training.metrics import Metrics
 from ir_ads_tpu.utils.checkpoint import load_weights
 from ir_ads_tpu.utils.config import load_config
 from ir_ads_tpu.utils.logging import get_logger
+from ir_ads_tpu.utils.compile_cache import setup_compilation_cache
+
+setup_compilation_cache()
 
 import jax
 
