@@ -14,6 +14,10 @@ train = dict(
 
 eval_cfg = dict(
     class_agnostic=True,
-    # point val at LVIS-format annotations converted to COCO json
+    # LVIS federated evaluation (ir_ads_tpu.detection.lvis_eval
+    # .LVISEvaluator): per-image neg_category_ids /
+    # not_exhaustive_category_ids semantics, APr/APc/APf buckets —
+    # matching d2 evaluation/lvis_evaluation.py, NOT a COCO-json shim.
+    evaluator="lvis",
     max_dets=(1, 10, 20, 30, 50, 100, 300, 900),
 )

@@ -82,34 +82,42 @@ VIDEO_EXTS = {".mp4", ".avi", ".mov", ".mkv", ".webm"}
 
 
 def run_video(args, infer, tracker):
-    """Video-file inference (reference demo/demo.py --video-input path:
-    cv2.VideoCapture + VideoWriter).  Decode of frame N+1 overlaps device
-    compute of frame N because JAX dispatch is async."""
+    """Video-file / webcam inference (reference demo/demo.py --video-input /
+    --webcam + predictors.py AsyncPredictor): a host thread decodes and
+    preprocesses ahead while the chip runs inference on earlier frames
+    (bounded in-flight window; see demo/predictors.py)."""
     import cv2
 
-    cap = cv2.VideoCapture(args.input)
-    if not cap.isOpened():
-        raise SystemExit(f"cannot open video {args.input}")
-    fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+    from demo.predictors import AsyncPredictor, video_frames, webcam_frames
+
+    if args.input == "webcam":
+        frames = webcam_frames(args.camera, args.max_frames)
+        fps, stem = 25.0, "webcam"
+    else:
+        cap = cv2.VideoCapture(args.input)
+        fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+        cap.release()
+        frames = video_frames(args.input)
+        stem = Path(args.input).stem
     os.makedirs(args.output, exist_ok=True)
-    out_path = os.path.join(
-        args.output, Path(args.input).stem + "_det.mp4"
-    )
+    out_path = os.path.join(args.output, stem + "_det.mp4")
     writer = None
     s = args.image_size
     n, t0 = 0, time.time()
-    while True:
-        ok, frame = cap.read()
-        if not ok:
-            break
-        img = frame[..., ::-1]  # BGR -> RGB
-        inp = np.asarray(
+
+    def preprocess(img):
+        return np.asarray(
             Image.fromarray(img).resize((s, s))
-        ).astype(np.float32)
-        scores, boxes, keep, cls = infer(inp[None])
-        b = np.asarray(boxes[0])
-        s_ = np.asarray(scores[0])
-        k_ = np.asarray(keep[0])
+        ).astype(np.float32)[None]
+
+    def fetch(dev):
+        scores, boxes, keep, cls = dev
+        return (np.asarray(scores[0]), np.asarray(boxes[0]),
+                np.asarray(keep[0]), np.asarray(cls[0]))
+
+    pipeline = AsyncPredictor(preprocess, infer, fetch)
+    for img, (s_, b, k_, cls0) in pipeline(frames):
+        cls = [cls0]
         if tracker is not None:
             sel = k_ & (s_ > args.score_thresh)
             tracks = tracker.update(
@@ -127,7 +135,6 @@ def run_video(args, infer, tracker):
             )
         writer.write(vis[..., ::-1])
         n += 1
-    cap.release()
     if writer is not None:
         writer.release()
     dt = time.time() - t0
@@ -150,6 +157,10 @@ def main():
     p.add_argument("--score-thresh", type=float, default=0.4)
     p.add_argument("--track", choices=["iou", "hungarian"], default=None,
                    help="treat input dir as a frame sequence and track")
+    p.add_argument("--camera", type=int, default=0,
+                   help="camera index for --input webcam")
+    p.add_argument("--max-frames", type=int, default=None,
+                   help="stop webcam capture after N frames")
     args = p.parse_args()
 
     tracker = None
@@ -158,10 +169,10 @@ def main():
 
         tracker = TRACKERS[args.track]()
 
-    if not os.path.exists(args.input):
+    if args.input != "webcam" and not os.path.exists(args.input):
         raise SystemExit(f"input not found: {args.input}")
     infer = build(args)
-    if (
+    if args.input == "webcam" or (
         os.path.isfile(args.input)
         and Path(args.input).suffix.lower() in VIDEO_EXTS
     ):

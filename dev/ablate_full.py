@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Whole-model ablation timing for the bench workload (B=8 480x640 bf16).
+
+Times the FULL CMNeXt forward (fused head only — same DCE as bench.py) with
+components stubbed via IR_ADS_ABLATE, using device-side chained-scan timing
+with a two-point slope (see bench.py notes: block_until_ready lies through
+the relay; constant costs cancel in the slope).
+
+Usage:
+  python dev/ablate_full.py                      # baseline
+  python dev/ablate_full.py --ablate dscf        # stub all DSCF blocks
+  python dev/ablate_full.py --ablate dscf_rpe    # keep DSCF, zero rpe bias
+  python dev/ablate_full.py --ablate blocks512   # stub 18-block stage
+  python dev/ablate_full.py --list               # known tags
+
+The per-component cost = baseline_ms - ablated_ms (in context).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import time
+
+TAGS = [
+    "",  # baseline
+    "dscf", "dscf_rpe", "dscf_sample", "mpg", "head",
+    "blocks128", "blocks256", "blocks512", "blocks1024",
+]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ablate", default="", help="comma list of tags")
+    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--size", default="480x640")
+    p.add_argument("--list", action="store_true")
+    args = p.parse_args()
+    if args.list:
+        print(TAGS)
+        return
+    os.environ["IR_ADS_ABLATE"] = args.ablate
+
+    import jax
+    import jax.numpy as jnp
+
+    from ir_ads_tpu.models.cmnext import CMNeXt
+    from ir_ads_tpu.utils.compile_cache import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    h, w = (int(v) for v in args.size.split("x"))
+    model = CMNeXt(
+        backbone="SwinTransformer-B", num_classes=40,
+        dtype=jnp.bfloat16, mmst_mask=False,
+    )
+    key = jax.random.PRNGKey(0)
+    rgb = jax.random.normal(key, (args.batch, h, w, 3), jnp.bfloat16)
+    dte = jax.random.normal(key, (args.batch, h, w, 3), jnp.bfloat16)
+    t0 = time.time()
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, rgb, dte)
+    )()
+    init_s = time.time() - t0
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def many(n, v, r, d):
+        def body(carry, _):
+            r, _ = carry
+            out = model.apply(v, r, dte, train=False)[0]
+            s = jnp.sum(out)
+            return (rgb + (s * 0.0).astype(r.dtype), s), None
+
+        (_, s_last), _ = jax.lax.scan(body, (r, jnp.float32(0)), None, length=n)
+        return s_last
+
+    t0 = time.time()
+    float(many(2, variables, rgb, dte))
+    compile_s = time.time() - t0
+    float(many(args.iters, variables, rgb, dte))  # compile long program
+
+    t0 = time.time()
+    float(many(2, variables, rgb, dte))
+    t_short = time.time() - t0
+    t0 = time.time()
+    float(many(args.iters, variables, rgb, dte))
+    t_long = time.time() - t0
+    ms = 1000.0 * (t_long - t_short) / (args.iters - 2)
+    print(json.dumps({
+        "ablate": args.ablate, "forward_ms": round(ms, 2),
+        "batch": args.batch, "init_s": round(init_s, 1),
+        "compile_s": round(compile_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

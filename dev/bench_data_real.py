@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Input-pipeline throughput with REAL image decode (VERDICT r1 item 9).
+
+Generates an NYU-format tree of 480x640 JPEG (rgb) + PNG (depth/label)
+files in a temp dir, then measures DataLoader img/s through the full
+train-augmentation pipeline for thread and process workers.
+
+The eval device rate is ~40-150 fps; the loader must sustain >= 2x that.
+
+Usage: python dev/bench_data_real.py [--n 64] [--batch 4] [--workers 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+from PIL import Image
+
+
+def make_dataset_tree(root: str, n: int, hw=(480, 640)) -> None:
+    h, w = hw
+    rng = np.random.RandomState(0)
+    os.makedirs(f"{root}/RGB", exist_ok=True)
+    os.makedirs(f"{root}/HHA", exist_ok=True)
+    os.makedirs(f"{root}/Label", exist_ok=True)
+    for split in ("train.txt", "val.txt"):
+        with open(f"{root}/{split}", "w") as f:
+            for i in range(n):
+                f.write(f"{i:06d}\n")
+    for i in range(n):
+        rgb = rng.randint(0, 255, (h, w, 3), np.uint8)
+        Image.fromarray(rgb).save(f"{root}/RGB/{i:06d}.jpg", quality=90)
+        hha = rng.randint(0, 255, (h, w, 3), np.uint8)
+        Image.fromarray(hha).save(f"{root}/HHA/{i:06d}.jpg", quality=90)
+        lbl = rng.randint(0, 40, (h, w), np.uint8)
+        Image.fromarray(lbl).save(f"{root}/Label/{i:06d}.png")
+
+
+def measure(root: str, batch: int, workers: int, mode: str, epochs: int = 2):
+    from ir_ads_tpu.data.augmentations import get_train_augmentation
+    from ir_ads_tpu.data.datasets import get_dataset
+    from ir_ads_tpu.data.loader import DataLoader
+
+    ds_cls = get_dataset("NYU")
+    tf = get_train_augmentation((480, 640), 255)
+    ds = ds_cls(root, "train", tf, ["img", "depth"])
+    loader = DataLoader(
+        ds, batch, shuffle=True, num_workers=workers, workers=mode
+    )
+    # warmup epoch (page cache, pool spawn), then timed epoch
+    n_img = 0
+    for e in range(epochs):
+        loader.set_epoch(e)
+        if e == epochs - 1:
+            t0 = time.time()
+        for b in loader:
+            if e == epochs - 1:
+                n_img += b[0].shape[0]
+    dt = time.time() - t0
+    return n_img / dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=64)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--workers", type=int, default=8)
+    args = p.parse_args()
+
+    with tempfile.TemporaryDirectory() as root:
+        make_dataset_tree(root, args.n)
+        out = {}
+        for mode in ("thread", "process"):
+            out[f"{mode}_img_per_sec"] = round(
+                measure(root, args.batch, args.workers, mode), 1
+            )
+        print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

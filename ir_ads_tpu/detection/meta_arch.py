@@ -369,13 +369,21 @@ class FCOS(nn.Module):
 
 class FasterRCNN(nn.Module):
     """Two-stage Faster R-CNN (d2 GeneralizedRCNN + RPN + StandardROIHeads,
-    box branch): static top-k proposals instead of NMS-filtered lists."""
+    box branch): static top-k proposals instead of NMS-filtered lists.
+
+    With ``with_mask=True`` this is Mask R-CNN (adds the
+    MaskRCNNConvUpsampleHead branch, d2 roi_heads/mask_head.py); with
+    ``num_keypoints>0`` it adds the Keypoint R-CNN branch
+    (roi_heads/keypoint_head.py)."""
 
     num_classes: int = 80
     backbone_arch: str = "resnet50"
     channels: int = 256
     num_proposals: int = 256  # static per-image proposal count
     max_gt: int = 20
+    with_mask: bool = False
+    num_keypoints: int = 0  # e.g. 17 for COCO person keypoints
+    mask_pool: int = 14  # ROI pool size for the mask branch (output 2x)
     dtype: Optional[Dtype] = None
 
     STRIDES = (4, 8, 16, 32)
@@ -383,7 +391,7 @@ class FasterRCNN(nn.Module):
 
     @nn.compact
     def __call__(self, images, gt_boxes=None, gt_labels=None, gt_valid=None,
-                 train: bool = False):
+                 train: bool = False, gt_masks=None, gt_keypoints=None):
         feats = ResNet(arch=self.backbone_arch, frozen_bn=True,
                        out_features=("res2", "res3", "res4", "res5"),
                        dtype=self.dtype, name="backbone")(images, train)
@@ -435,15 +443,46 @@ class FasterRCNN(nn.Module):
 
         out = {"rpn_obj": obj, "proposals": prop_boxes,
                "cls_logits": cls_logits, "boxes": det_boxes}
+
+        if self.with_mask:
+            from ir_ads_tpu.detection.roi_heads import MaskHead
+
+            mp = self.mask_pool
+            pooled_m = roi_align(levels[0], rois, (mp, mp),
+                                 spatial_scale=1.0 / self.STRIDES[0])
+            mask_logits = MaskHead(
+                self.num_classes, dtype=self.dtype, name="mask_head"
+            )(pooled_m)  # (B*k, 2mp, 2mp, num_classes)
+            out["mask_logits"] = mask_logits.reshape(
+                b, k, 2 * mp, 2 * mp, self.num_classes
+            )
+        if self.num_keypoints:
+            from ir_ads_tpu.detection.roi_heads import KeypointHead
+
+            mp = self.mask_pool
+            pooled_k = roi_align(levels[0], rois, (mp, mp),
+                                 spatial_scale=1.0 / self.STRIDES[0])
+            kp_logits = KeypointHead(
+                self.num_keypoints, dtype=self.dtype, name="keypoint_head"
+            )(pooled_k)  # (B*k, 4mp, 4mp, K)
+            out["keypoint_logits"] = kp_logits.reshape(
+                b, k, 4 * mp, 4 * mp, self.num_keypoints
+            )
+
         if train and gt_boxes is not None:
             out["losses"] = self.losses(
                 obj, deltas, anchors, prop_boxes, cls_logits, box_deltas,
                 gt_boxes, gt_labels, gt_valid,
+                mask_logits=out.get("mask_logits"),
+                keypoint_logits=out.get("keypoint_logits"),
+                gt_masks=gt_masks, gt_keypoints=gt_keypoints,
             )
         return out
 
     def losses(self, obj, rpn_deltas, anchors, proposals, cls_logits,
-               box_deltas, gt_boxes, gt_labels, gt_valid):
+               box_deltas, gt_boxes, gt_labels, gt_valid,
+               mask_logits=None, keypoint_logits=None,
+               gt_masks=None, gt_keypoints=None):
         def per_image(ob, rd, pb, cl, bd, gb, gl, gv):
             # RPN losses
             matched, label = match_anchors(anchors, gb, gv, 0.7, 0.3)
@@ -471,5 +510,50 @@ class FasterRCNN(nn.Module):
             obj, rpn_deltas, proposals, cls_logits, box_deltas,
             gt_boxes, gt_labels, gt_valid,
         )
-        return {"loss_rpn_obj": o.mean(), "loss_rpn_reg": r.mean(),
-                "loss_roi_cls": c.mean(), "loss_roi_reg": rr.mean()}
+        losses = {"loss_rpn_obj": o.mean(), "loss_rpn_reg": r.mean(),
+                  "loss_roi_cls": c.mean(), "loss_roi_reg": rr.mean()}
+
+        if mask_logits is not None and gt_masks is not None:
+            from ir_ads_tpu.detection.roi_heads import (
+                crop_and_resize_masks,
+                mask_rcnn_loss,
+            )
+
+            s = mask_logits.shape[2]
+
+            def mask_per_image(ml, pb, gb, gl, gv, gm):
+                m2, l2 = match_anchors(pb, gb, gv, 0.5, 0.5)
+                fg = (l2 == 1).astype(jnp.float32)
+                tgt = crop_and_resize_masks(gm, pb, m2, s)
+                return mask_rcnn_loss(ml, gl[m2], tgt, fg)
+
+            losses["loss_mask"] = jax.vmap(mask_per_image)(
+                mask_logits, proposals, gt_boxes, gt_labels, gt_valid,
+                gt_masks,
+            ).mean()
+
+        if keypoint_logits is not None and gt_keypoints is not None:
+            from ir_ads_tpu.detection.roi_heads import keypoint_rcnn_loss
+
+            def kp_per_image(kl, pb, gb, gv, gk):
+                m2, l2 = match_anchors(pb, gb, gv, 0.5, 0.5)
+                fg = (l2 == 1).astype(jnp.float32)
+                return keypoint_rcnn_loss(kl, gk[m2], pb, fg)
+
+            losses["loss_keypoint"] = jax.vmap(kp_per_image)(
+                keypoint_logits, proposals, gt_boxes, gt_valid, gt_keypoints,
+            ).mean()
+        return losses
+
+
+def MaskRCNN(**kw) -> FasterRCNN:
+    """Mask R-CNN = Faster R-CNN + mask branch (d2 mask_rcnn_R_50_FPN)."""
+    kw.setdefault("with_mask", True)
+    return FasterRCNN(**kw)
+
+
+def KeypointRCNN(**kw) -> FasterRCNN:
+    """Keypoint R-CNN (d2 keypoint_rcnn_R_50_FPN): person keypoints."""
+    kw.setdefault("num_keypoints", 17)
+    kw.setdefault("num_classes", 1)
+    return FasterRCNN(**kw)

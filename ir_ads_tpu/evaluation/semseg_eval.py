@@ -22,6 +22,7 @@ from typing import Callable, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ir_ads_tpu.ops.layers import resize_bilinear
 
@@ -302,3 +303,49 @@ def evaluate(
             probs = jax.nn.softmax(forward(rgb, dte).astype(jnp.float32), -1)
         metrics.update(jnp.argmax(probs, -1), label)
     return metrics
+
+
+def make_spatial_sharded_forward(
+    forward: Callable,  # (B, Hl+2*halo, W, C) NHWC-in, NHWC-out, same H
+    mesh,
+    halo: int,
+    axis: str = "space",
+) -> Callable:
+    """Spatially-sharded whole-image forward over the mesh's ``space`` axis
+    (SURVEY.md §5 "space axis for huge images"): the image's H dimension is
+    sharded across devices, each shard's strip is padded with ``halo`` rows
+    exchanged from its neighbours over ICI (parallel/halo.py ppermute), the
+    model runs on the haloed strip, and the halo is cropped off the output.
+
+    Exact equality with the unsharded forward holds at every INTER-SHARD
+    boundary when ``halo`` covers the network's receptive-field radius
+    (conv stacks, shifted-window attention with bounded shift) — verified
+    in tests/test_spatial_shard_eval.py.  The caveat is the image's outer
+    top/bottom bands (width ~= depth*window*patch): the outermost rows see
+    different boundary conditions than the unsharded model (a cyclically
+    shifted window model wrap-masks its global top against its global
+    bottom; the strip sees its zero halo instead), and each block widens
+    the affected band by one window.  For deeper stacks whose receptive
+    field exceeds ``halo``, this is the spatial analogue of sliding-window
+    inference with overlap = halo.
+
+    ``forward`` must preserve spatial shape (e.g. a logits head upsampled to
+    input resolution).  Input H must divide evenly by the axis size.
+    """
+    from ir_ads_tpu.parallel.halo import spatial_shard_apply
+
+    sharded = spatial_shard_apply(forward, mesh, halo)
+
+    def predict(*mods):
+        n = mesh.shape[axis]
+        h = mods[0].shape[1]
+        assert h % n == 0, (h, n)
+        spec = NamedSharding(mesh, P(None, axis))
+        mods = tuple(jax.device_put(m, spec) for m in mods)
+        if len(mods) == 1:
+            return sharded(mods[0])
+        # multimodal: stack along channels for one shard_map body
+        packed = jnp.concatenate(mods, axis=-1)
+        return sharded(packed)
+
+    return predict

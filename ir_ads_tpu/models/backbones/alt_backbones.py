@@ -292,3 +292,171 @@ BACKBONES = {
     "mvit": MViT,
     "vitdet": ViTDet,
 }
+
+
+# ------------------------------------------------------------------- EVA-02
+def _rope_freqs(head_dim: int, seq_len: int, pt_seq_len: int = 16,
+                theta: float = 10000.0):
+    """2D VisionRotaryEmbeddingFast tables (reference
+    detrex/modeling/backbone/eva_02_utils.py:309-351): per-axis frequencies
+    on a pt_seq_len-normalized grid, each repeated in interleaved pairs,
+    then y/x broadcast-concatenated.  Returns (seq*seq, head_dim) cos/sin."""
+    dim = head_dim // 2  # per-axis rope dim (= half_head_dim, eva_02.py:367)
+    freqs = 1.0 / (
+        theta ** (np.arange(0, dim, 2, dtype=np.float64)[: dim // 2] / dim)
+    )
+    t = np.arange(seq_len, dtype=np.float64) / seq_len * pt_seq_len
+    f = np.einsum("i,j->ij", t, freqs)  # (seq, dim//2)
+    f = np.repeat(f, 2, axis=-1)  # (seq, dim) interleaved pairs
+    fy = np.broadcast_to(f[:, None, :], (seq_len, seq_len, dim))
+    fx = np.broadcast_to(f[None, :, :], (seq_len, seq_len, dim))
+    full = np.concatenate([fy, fx], axis=-1).reshape(-1, 2 * dim)
+    return (
+        jnp.asarray(np.cos(full), jnp.float32),
+        jnp.asarray(np.sin(full), jnp.float32),
+    )
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    """(..., (d r)) with r=2 interleaved -> (-x2, x1) pairs
+    (eva_02_utils.py:250-254)."""
+    x = x.reshape(*x.shape[:-1], -1, 2)
+    return jnp.stack([-x[..., 1], x[..., 0]], axis=-1).reshape(
+        *x.shape[:-2], -1
+    )
+
+
+def _apply_rope(t: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """t: (..., N, head_dim); cos/sin (N, head_dim)."""
+    return t * cos + _rotate_half(t) * sin
+
+
+class SwiGLU(nn.Module):
+    """w3(silu(w1 x) * w2 x) with sub-LN on the hidden
+    (reference eva_02.py:39-63, subln=True in EVA-02)."""
+
+    hidden: int
+    subln: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d = x.shape[-1]
+        x1 = nn.Dense(self.hidden, dtype=self.dtype, name="w1")(x)
+        x2 = nn.Dense(self.hidden, dtype=self.dtype, name="w2")(x)
+        h = nn.silu(x1) * x2
+        if self.subln:
+            h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ffn_ln")(h)
+        return nn.Dense(d, dtype=self.dtype, name="w3")(h)
+
+
+class EVA02Attention(nn.Module):
+    """Separate q/k/v projections (k bias-free), rope on q and k
+    (reference eva_02.py:66-137)."""
+
+    dim: int
+    num_heads: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, rope) -> jax.Array:
+        b, h, w, c = x.shape
+        n = h * w
+        hd = self.dim // self.num_heads
+        xf = x.reshape(b, n, c)
+        q = nn.Dense(self.dim, dtype=self.dtype, name="q_proj")(xf)
+        k = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                     name="k_proj")(xf)
+        v = nn.Dense(self.dim, dtype=self.dtype, name="v_proj")(xf)
+
+        def heads(t):
+            return t.reshape(b, n, self.num_heads, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        cos, sin = rope
+        q = _apply_rope(q.astype(jnp.float32), cos, sin).astype(v.dtype)
+        k = _apply_rope(k.astype(jnp.float32), cos, sin).astype(v.dtype)
+        attn = jnp.einsum(
+            "bhnd,bhmd->bhnm", q * hd**-0.5, k,
+            preferred_element_type=jnp.float32,
+        )
+        p = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        o = jnp.einsum("bhnm,bhmd->bhnd", p, v)
+        o = o.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+        o = nn.Dense(self.dim, dtype=self.dtype, name="proj")(o)
+        return o.reshape(b, h, w, self.dim)
+
+
+class EVA02ViT(nn.Module):
+    """EVA-02 ViT trunk (reference detrex/modeling/backbone/eva_02.py:
+    290-475): abs pos embed + 2D rope attention + SwiGLU blocks, windowed
+    except at ``global_indexes``.  Returns {"last_feat"} at stride
+    ``patch_size`` for SimpleFeaturePyramid, like ViTDet."""
+
+    img_size: int = 1024
+    patch_size: int = 16
+    dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4 * 2 / 3
+    window_size: int = 16
+    global_indexes: Sequence[int] = (2, 5, 8, 11)
+    pt_hw_seq_len: int = 16
+    drop_path_rate: float = 0.1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> Dict[str, jax.Array]:
+        from ir_ads_tpu.models.projects.vitdet import (
+            window_partition,
+            window_unpartition,
+        )
+        from ir_ads_tpu.ops.layers import DropPath, trunc_normal_init
+
+        p = self.patch_size
+        x = nn.Conv(self.dim, (p, p), strides=p, dtype=self.dtype,
+                    name="patch_embed")(x)
+        b, h, w, c = x.shape
+        ph = pw = self.img_size // self.patch_size
+        pos = self.param("pos_embed", trunc_normal_init(0.02), (1, ph, pw, c))
+        if (ph, pw) != (h, w):
+            pos = jax.image.resize(
+                pos.astype(jnp.float32), (1, h, w, c), method="cubic"
+            )
+        x = x + pos.astype(x.dtype)
+
+        hd = self.dim // self.num_heads
+        rope_glb = _rope_freqs(hd, max(h, w), self.pt_hw_seq_len)
+        rope_win = _rope_freqs(hd, self.window_size, self.pt_hw_seq_len)
+        # non-square global grids: slice the (S, S) table to (h, w)
+        if h != w:
+            s = max(h, w)
+            cos, sin = rope_glb
+            cos = cos.reshape(s, s, -1)[:h, :w].reshape(h * w, -1)
+            sin = sin.reshape(s, s, -1)[:h, :w].reshape(h * w, -1)
+            rope_glb = (cos, sin)
+
+        dpr = np.linspace(0, self.drop_path_rate, self.depth)
+        for i in range(self.depth):
+            shortcut = x
+            y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             name=f"norm1_{i}")(x)
+            attn = EVA02Attention(
+                self.dim, self.num_heads, dtype=self.dtype, name=f"attn_{i}"
+            )
+            if i in self.global_indexes:
+                y = attn(y, rope_glb)
+            else:
+                win, pad_hw = window_partition(y, self.window_size)
+                nw = win.shape[0]
+                win = win.reshape(nw, self.window_size, self.window_size, c)
+                win = attn(win, rope_win)
+                win = win.reshape(nw, self.window_size * self.window_size, c)
+                y = window_unpartition(win, self.window_size, pad_hw, (h, w))
+            x = shortcut + DropPath(float(dpr[i]))(y, not train)
+            y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             name=f"norm2_{i}")(x)
+            y = SwiGLU(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                       name=f"mlp_{i}")(y)
+            x = x + DropPath(float(dpr[i]))(y, not train)
+        return {"last_feat": x}

@@ -30,6 +30,7 @@ import numpy as np
 from flax import linen as nn
 
 from ir_ads_tpu.ops.grid_sample import grid_sample_matmul, make_ref_grid
+from ir_ads_tpu.utils.ablate import ablated
 from ir_ads_tpu.ops.layers import (
     DropPath,
     Mlp,
@@ -39,6 +40,7 @@ from ir_ads_tpu.ops.layers import (
     trunc_normal_init,
 )
 from ir_ads_tpu.ops.pallas_swin import (
+    fused_window_attention_map,
     fused_window_attention_qkv,
     shift_region_ids,
 )
@@ -68,13 +70,13 @@ class WindowMSA(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x: jax.Array,  # (B*nW, N, C)
+        x: jax.Array,  # (B*nW, N, C) — or (B, Hp, Wp, C) for "pallas_map"
         mask: Optional[jax.Array],  # (nW, N, N) or None (xla impl)
         deterministic: bool = True,
-        region: Optional[jax.Array] = None,  # (nW, N) int32 (pallas impl)
+        region: Optional[jax.Array] = None,  # (nW, N) int32 (pallas impls)
     ) -> jax.Array:
-        bn, n, c = x.shape
         ws = self.window_size
+        c = x.shape[-1]
         head_dim = c // self.num_heads
         scale = head_dim**-0.5
 
@@ -83,7 +85,10 @@ class WindowMSA(nn.Module):
             trunc_normal_init(0.02),
             ((2 * ws - 1) * (2 * ws - 1), self.num_heads),
         )
-        qkv = nn.Dense(
+        from ir_ads_tpu.ops.int8 import QuantDense, int8_enabled
+
+        dense_cls = QuantDense if int8_enabled() else nn.Dense
+        qkv = dense_cls(
             3 * c,
             use_bias=self.qkv_bias,
             dtype=self.dtype,
@@ -91,7 +96,15 @@ class WindowMSA(nn.Module):
             name="qkv",
         )(x)
         bias = gather_rel_pos_bias(table, ws, ws)  # (heads, N, N)
-        if self.attn_impl == "pallas":
+        if self.attn_impl == "pallas_map":
+            # v3 fused kernel: consumes the qkv MAP; window partition /
+            # reverse happen as VMEM-local relayouts inside the kernel, so
+            # the XLA layout passes around the attention disappear
+            out = fused_window_attention_map(
+                qkv, bias, region, scale, self.num_heads, ws
+            )
+        elif self.attn_impl == "pallas":
+            bn, n, _ = x.shape
             # v2 fused kernel: heads stay in the lane dim, the qkv tensor is
             # consumed exactly as the projection produced it (no transposes,
             # no D/N padding), attention matrices never touch HBM
@@ -101,6 +114,7 @@ class WindowMSA(nn.Module):
                 qkv, bias, region, scale, self.num_heads
             )
         else:
+            bn, n, _ = x.shape
             qkv = qkv.reshape(bn, n, 3, self.num_heads, head_dim)
             q, k, v = (
                 qkv[:, :, 0].transpose(0, 2, 1, 3),
@@ -109,7 +123,7 @@ class WindowMSA(nn.Module):
             )
             out = window_attention(q, k, v, bias, mask, scale)
             out = out.transpose(0, 2, 1, 3).reshape(bn, n, c)
-        out = nn.Dense(
+        out = dense_cls(
             c, dtype=self.dtype, kernel_init=trunc_normal_init(), name="proj"
         )(out)
         if self.proj_drop > 0.0 and not deterministic:
@@ -147,12 +161,19 @@ class ShiftWindowMSA(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
         hp, wp = h + pad_b, w + pad_r
 
-        # "auto" = fused Pallas kernel on TPU (1.4-5x per attention call at
-        # bench shapes incl. the 32-head stage-4: 0.33 ms vs ~1.7 ms XLA),
-        # plain XLA elsewhere (CPU tests / multichip dryrun).
+        # "auto" = v2 fused Pallas kernel on TPU (1.4-5x per attention call
+        # at bench shapes), plain XLA elsewhere (CPU tests / dryrun).
+        # "pallas_map" (v3: partition/reverse folded into the kernel as
+        # VMEM relayouts) is numerically verified but its big-grid 5D
+        # relayout sends the Mosaic compiler into multi-minute compiles at
+        # stage-0 480p shapes — opt-in via IR_ADS_SWIN_ATTN until fixed.
         attn_impl = self.attn_impl
         if attn_impl == "auto":
-            attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+            import os
+
+            attn_impl = os.environ.get("IR_ADS_SWIN_ATTN", "") or (
+                "pallas" if jax.default_backend() == "tpu" else "xla"
+            )
 
         mask = region = None
         if shift > 0:
@@ -161,13 +182,12 @@ class ShiftWindowMSA(nn.Module):
             # and expand the dense (nW, N, N) mask on device — the dense
             # version baked ~10MB of constants into the HLO at 480p
             region = jnp.asarray(shift_region_ids(hp, wp, ws, shift))
-            if attn_impl != "pallas":
+            if attn_impl == "xla":
                 neq = region[:, :, None] != region[:, None, :]
                 mask = jnp.where(neq, -100.0, 0.0).astype(jnp.float32)
                 region = None
 
-        wins = window_partition(x, ws)  # (B*nW, N, C)
-        wins = WindowMSA(
+        msa = WindowMSA(
             dim=self.dim,
             num_heads=self.num_heads,
             window_size=ws,
@@ -175,8 +195,14 @@ class ShiftWindowMSA(nn.Module):
             attn_impl=attn_impl,
             dtype=self.dtype,
             name="w_msa",
-        )(wins, mask, deterministic, region)
-        x = window_reverse(wins, ws, hp, wp)
+        )
+        if attn_impl == "pallas_map":
+            # map path: no window_partition/reverse in XLA at all
+            x = msa(x, mask, deterministic, region)
+        else:
+            wins = window_partition(x, ws)  # (B*nW, N, C)
+            wins = msa(wins, mask, deterministic, region)
+            x = window_reverse(wins, ws, hp, wp)
 
         if shift > 0:
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
@@ -373,6 +399,13 @@ class SwinStage(nn.Module):
     def __call__(
         self, x: jax.Array, sub_mode: str, deterministic: bool = True
     ) -> Tuple[jax.Array, jax.Array]:
+        if ablated(f"blocks{self.dim}"):  # perf-attribution stub (key by dim)
+            out = x
+            if self.downsample:
+                x = PatchMerging(
+                    out_dim=2 * self.dim, dtype=self.dtype, name="downsample"
+                )(x)
+            return x, out
         use_scan = self.depth >= 4 and self.depth % 2 == 0
         if use_scan:
             pair_cls = SwinBlockPair
@@ -586,9 +619,14 @@ class DAttentionMM(nn.Module):
             s = jnp.concatenate([sx, sy], axis=2)  # (B, g, 2n, gc)
             return s.transpose(0, 2, 1, 3).reshape(b, 2 * n, c)
 
-        x_sampled = both(x)
-        y_sampled = both(y)
-        q_sampled = both(q)
+        if ablated("dscf_sample"):  # perf-attribution stub
+            x_sampled = y_sampled = q_sampled = jnp.zeros(
+                (b, 2 * n, c), x.dtype
+            )
+        else:
+            x_sampled = both(x)
+            y_sampled = both(y)
+            q_sampled = both(q)
 
         # q-conditioned modality mixing weight (reference get_sample_weight)
         wgt = nn.Conv(c, (1, 1), dtype=self.dtype, name="sample_weight_fc1")(
@@ -665,24 +703,50 @@ class DAttentionMM(nn.Module):
                 return bias.reshape(b * g, h * w, hg, n)
             return bias.reshape(b * g, h * w, n, hg)
 
-        # The fused Pallas kernel (ops/pallas_dscf.py) keeps scores + bias in
-        # VMEM, but on-chip A/B at all four level shapes measured it neutral
-        # at L0-L2 and 2x slower at L3 — XLA's fusion of the einsum path is
-        # already good here, so "auto" resolves to XLA.  The kernel remains
-        # selectable (attn_impl="pallas") and equivalence-tested.  Head e of
-        # group gi covers channels [(gi*hg+e)*hc, ...) — group-major, the
-        # packed-layout contract of ops/pallas_dscf.py.
+        # Attention implementation choice (perf round 2):
+        #   "pallas2": rpe bias built by the Pallas builder kernel
+        #     (ops/pallas_dscf_rpe.py — both hat-weight dots in VMEM, no
+        #     ~92M-element u/bias HBM intermediates) + the fused attention
+        #     kernel (ops/pallas_dscf.py — scores in VMEM).  Wins where the
+        #     query grid is large (levels 0-1).
+        #   "pallas": round-1 variant — XLA einsum bias + fused attention.
+        #   "xla": full einsum path — best at the small levels (2-3), where
+        #     per-j kernel dots would be overhead-bound but XLA batches fine.
+        # Head e of group gi covers channels [(gi*hg+e)*hc, ...) —
+        # group-major, the packed-layout contract of ops/pallas_dscf.py.
         attn_impl = self.attn_impl
         if attn_impl == "auto":
-            attn_impl = "xla"
-        if attn_impl == "pallas":
+            import os
+
+            override = os.environ.get("IR_ADS_DSCF_ATTN", "")
+            on_tpu = jax.default_backend() == "tpu"
+            attn_impl = override or (
+                "pallas2" if (on_tpu and h * w >= 4000 and w >= 64) else "xla"
+            )
+        if attn_impl in ("pallas", "pallas2"):
             from ir_ads_tpu.ops.pallas_dscf import NEG_INF, dscf_attention
 
             gc_ = c // g
             mp = -(-2 * n // 128) * 128
-            bx = rpe_bias(pos_x, head_minor=True)  # (B*g, HW, hg, n)
-            by = rpe_bias(pos_y, head_minor=True)
-            packed = jnp.concatenate([bx, by], axis=-1)  # (B*g, HW, hg, 2n)
+            if attn_impl == "pallas2":
+                from ir_ads_tpu.ops.pallas_dscf_rpe import dscf_rpe_bias
+
+                store = self.dtype or jnp.float32
+                pos_cat = jnp.concatenate(
+                    [pos_x.reshape(b * g, n, 2), pos_y.reshape(b * g, n, 2)],
+                    axis=1,
+                )
+                table4 = rpe_table.reshape(g, hg, s1, s2)
+                bias5 = dscf_rpe_bias(
+                    pos_cat, table4, h, w, store
+                )  # (B*g, hg, 2n, h, w)
+                packed = bias5.transpose(0, 3, 4, 1, 2).reshape(
+                    b * g, h * w, hg, 2 * n
+                )
+            else:
+                bx = rpe_bias(pos_x, head_minor=True)  # (B*g, HW, hg, n)
+                by = rpe_bias(pos_y, head_minor=True)
+                packed = jnp.concatenate([bx, by], axis=-1)  # (B*g, HW, hg, 2n)
             packed = jnp.pad(
                 packed,
                 ((0, 0), (0, 0), (0, 0), (0, mp - 2 * n)),
@@ -719,15 +783,16 @@ class DAttentionMM(nn.Module):
                 )
                 * scale
             )
-            bias_x = rpe_bias(pos_x)
-            bias_y = rpe_bias(pos_y)
-            bias = jnp.concatenate([bias_x, bias_y], axis=2)  # (B*g, HW, 2n, hg)
-            bias = (
-                bias.reshape(b, g, h * w, 2 * n, hg)
-                .transpose(0, 1, 4, 2, 3)
-                .reshape(b, heads, h * w, 2 * n)
-            )
-            attn = attn + bias.astype(attn.dtype)
+            if not ablated("dscf_rpe"):
+                bias_x = rpe_bias(pos_x)
+                bias_y = rpe_bias(pos_y)
+                bias = jnp.concatenate([bias_x, bias_y], axis=2)  # (B*g, HW, 2n, hg)
+                bias = (
+                    bias.reshape(b, g, h * w, 2 * n, hg)
+                    .transpose(0, 1, 4, 2, 3)
+                    .reshape(b, heads, h * w, 2 * n)
+                )
+                attn = attn + bias.astype(attn.dtype)
 
             attn = jax.nn.softmax(attn, axis=-1)
             out = jnp.einsum(
@@ -768,6 +833,8 @@ class DeformMPGBlock(nn.Module):
     def __call__(
         self, x_rgb: jax.Array, x_dte: jax.Array, train: bool = False
     ) -> jax.Array:
+        if ablated("dscf"):  # perf-attribution stub, never set in production
+            return jnp.zeros_like(x_rgb)
         hidden = int(self.dim * self.ratio)
         kaiming = kaiming_uniform_init()
         a = nn.Dense(hidden, kernel_init=kaiming, dtype=self.dtype, name="D_fc1")(
@@ -871,11 +938,12 @@ class SwinTransformer(nn.Module):
 
         outs, outs_rgb, outs_dte = [], [], []
         for i in range(num_layers):
-            prompt_rgb, prompt_dte = MPGBlock(
-                ratio=self.mapa_ratio, dtype=self.dtype, name=f"mpg_{i}"
-            )(x_rgb, x_dte)
-            x_rgb = x_rgb + prompt_rgb
-            x_dte = x_dte + prompt_dte
+            if not ablated("mpg"):
+                prompt_rgb, prompt_dte = MPGBlock(
+                    ratio=self.mapa_ratio, dtype=self.dtype, name=f"mpg_{i}"
+                )(x_rgb, x_dte)
+                x_rgb = x_rgb + prompt_rgb
+                x_dte = x_dte + prompt_dte
 
             stage = SwinStage(
                 dim=dims[i],

@@ -11,11 +11,13 @@ from __future__ import annotations
 from typing import Any, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
 from ir_ads_tpu.models.backbones.swin import SwinTransformer, swin_b, swin_l
 from ir_ads_tpu.models.heads.segformer import SegFormerHead
 from ir_ads_tpu.ops.layers import resize_bilinear
+from ir_ads_tpu.utils.ablate import ablated
 
 BACKBONES = {
     "SwinTransformer-B": swin_b,
@@ -54,9 +56,14 @@ class CMNeXt(nn.Module):
 
         size = (x_rgb.shape[1], x_rgb.shape[2])
         fused_dim, aux_dim = self.head_dims
-        y = SegFormerHead(
-            fused_dim, self.num_classes, dtype=self.dtype, name="decode_head"
-        )(feats, train)
+        if ablated("head"):  # perf-attribution stub
+            y = jnp.sum(feats[0], axis=-1, keepdims=True) * jnp.zeros(
+                (1, 1, 1, self.num_classes)
+            )
+        else:
+            y = SegFormerHead(
+                fused_dim, self.num_classes, dtype=self.dtype, name="decode_head"
+            )(feats, train)
         y_rgb = SegFormerHead(
             aux_dim, self.num_classes, dtype=self.dtype, name="decode_head_rgb"
         )(feats_rgb, train)

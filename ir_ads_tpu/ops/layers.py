@@ -92,13 +92,23 @@ class Mlp(nn.Module):
         drop_path_override: Optional[jax.Array] = None,
     ) -> jax.Array:
         out_dim = self.out_dim or x.shape[-1]
-        h = nn.Dense(
-            self.hidden_dim, dtype=self.dtype, kernel_init=trunc_normal_init()
+        # int8 MXU path (IR_ADS_INT8=1): QuantDense is param-tree identical
+        # to nn.Dense; explicit names keep the auto-naming ("Dense_N") so
+        # checkpoints load in either mode (ops/int8.py)
+        from ir_ads_tpu.ops.int8 import QuantDense, int8_enabled
+
+        dense_cls = QuantDense if int8_enabled() else nn.Dense
+        h = dense_cls(
+            self.hidden_dim, dtype=self.dtype,
+            kernel_init=trunc_normal_init(), name="Dense_0",
         )(x)
         h = self.act(h)
         if self.drop_rate > 0.0 and not deterministic:
             h = nn.Dropout(self.drop_rate)(h, deterministic=False)
-        h = nn.Dense(out_dim, dtype=self.dtype, kernel_init=trunc_normal_init())(h)
+        h = dense_cls(
+            out_dim, dtype=self.dtype, kernel_init=trunc_normal_init(),
+            name="Dense_1",
+        )(h)
         if self.drop_rate > 0.0 and not deterministic:
             h = nn.Dropout(self.drop_rate)(h, deterministic=False)
         if not self.add_identity:

@@ -1,0 +1,163 @@
+"""Pallas builder for the DSCF continuous relative-position bias.
+
+Reference semantics: DAttentionMM samples a learned (2*rh-1, 2*rw-1) table
+at displacement (q_i - pos_j)/2 per (query pixel, deformable sample) pair
+(reference swin.py:938-1006, F.grid_sample on the rpe table).  The exact
+separable matmul form (see DAttentionMM.rpe_bias) factorizes the bilinear
+interpolation into 1-D hat-weight contractions:
+
+    u_je[s, c]   = sum_t T_e[s, t] * hat(ix[c, j] - t)      (S1, S2)@(S2, W)
+    bias_je[r,c] = sum_s hat(iy[r, j] - s) * u_je[s, c]     (H, S1)@(S1, W)
+
+In XLA this materializes u and bias (~92M elements each at level 0, batch 8)
+in HBM; this kernel runs both dots per (j, head) entirely in VMEM and only
+writes the final bias, in its natural j-major (BG, hg, M, H, W) layout —
+every write is a full (H, W) tile, no relayouts.
+
+The caller transposes once to the attention kernel's packed layout
+(BG, H*W, hg*Mp); see ir_ads_tpu.ops.pallas_dscf.
+
+Only worthwhile where H*W is large and W maps well onto lanes (levels 0-1
+of the Swin pyramid).  Levels 2-3 keep the XLA einsum path (tiny per-j
+matmuls there are overhead-bound in a kernel but batch fine in XLA).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _rpe_kernel(pos_ref, table_ref, out_ref, *, h, w, s1, s2, jc, hg, out_dtype):
+    """Grid: (BG, M // jc).  Blocks:
+    pos_ref:   (1, jc, 2) f32      — (py, px) per sample point
+    table_ref: (1, hg, s1, s2) f32 — this group's table, head-major
+    out_ref:   (1, hg, jc, h, w)   — bias tiles
+    """
+    # query grids (static): qy[r] = 2r/(h-1) - 1, iy = (0.5(qy-py)+1)*0.5*(s1-1)
+    # expand: iy[r, j] = ay*r + by(j) with ay = (s1-1)/(2*(h-1))
+    ay = (s1 - 1.0) / (2.0 * (h - 1.0))
+    ax = (s2 - 1.0) / (2.0 * (w - 1.0))
+    # Mosaic iota must be integer-typed; cast after
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (h, s1), 0).astype(jnp.float32)
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, (h, s1), 1).astype(jnp.float32)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (s2, w), 0).astype(jnp.float32)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (s2, w), 1).astype(jnp.float32)
+
+    for j in range(jc):
+        py = pos_ref[0, j, 0]
+        px = pos_ref[0, j, 1]
+        #   qy[r] = 2r/(h-1) - 1
+        #   iy    = (0.5*(qy[r]-py) + 1) * 0.5*(s1-1)
+        #         = ay*r + (0.5 - 0.5*py) * 0.5*(s1-1)
+        by = (0.5 - 0.5 * py) * 0.5 * (s1 - 1.0)
+        bx = (0.5 - 0.5 * px) * 0.5 * (s2 - 1.0)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(ay * r_ids + by - s_ids))  # (h, s1)
+        wxT = jnp.maximum(0.0, 1.0 - jnp.abs(ax * c_ids + bx - t_ids))  # (s2, w)
+        for e in range(hg):
+            u = jax.lax.dot_general(
+                table_ref[0, e], wxT,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (s1, w)
+            bias = jax.lax.dot_general(
+                wy, u,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (h, w)
+            out_ref[0, e, j] = bias.astype(out_dtype)
+
+
+def dscf_rpe_bias_pallas(
+    pos: jax.Array,       # (BG, M, 2) f32, (y, x) in [-1, 1]
+    table: jax.Array,     # (G, hg, S1, S2) f32
+    h: int,
+    w: int,
+    out_dtype=jnp.bfloat16,
+    j_chunk: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns bias (BG, hg, M, h, w).  BG = B * G (group-minor: bg = b*G+g)."""
+    bg, m, _ = pos.shape
+    g, hg, s1, s2 = table.shape
+    if j_chunk is None:
+        # Mosaic block rule: the pos block's second-to-last dim must be a
+        # multiple of 8 or equal to the full M
+        j_chunk = 8 if m % 8 == 0 else m
+    assert m % j_chunk == 0, (m, j_chunk)
+
+    kernel = functools.partial(
+        _rpe_kernel, h=h, w=w, s1=s1, s2=s2, jc=j_chunk, hg=hg,
+        out_dtype=out_dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bg, hg, m, h, w), out_dtype),
+        grid=(bg, m // j_chunk),
+        in_specs=[
+            pl.BlockSpec((1, j_chunk, 2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hg, s1, s2), lambda i, j, g=g: (i % g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hg, j_chunk, h, w), lambda i, j: (i, 0, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(pos, table)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def dscf_rpe_bias(pos, table, h, w, out_dtype=jnp.bfloat16):
+    """Differentiable entry: Pallas forward + XLA-recompute backward."""
+    return dscf_rpe_bias_pallas(pos, table, h, w, out_dtype=out_dtype)
+
+
+def _rpe_fwd(pos, table, h, w, out_dtype):
+    return dscf_rpe_bias_pallas(pos, table, h, w, out_dtype=out_dtype), (
+        pos,
+        table,
+    )
+
+
+def _rpe_bwd(h, w, out_dtype, res, g):
+    pos, table = res
+    _, vjp = jax.vjp(
+        lambda p, t: dscf_rpe_bias_reference(p, t, h, w, out_dtype), pos, table
+    )
+    return vjp(g)
+
+
+dscf_rpe_bias.defvjp(_rpe_fwd, _rpe_bwd)
+
+
+def dscf_rpe_bias_reference(pos, table, h, w, out_dtype=jnp.bfloat16):
+    """XLA twin of the kernel (same layout), for tests and the backward."""
+    bg, m, _ = pos.shape
+    g, hg, s1, s2 = table.shape
+    ay = (s1 - 1.0) / (2.0 * (h - 1.0))
+    ax = (s2 - 1.0) / (2.0 * (w - 1.0))
+    r = jnp.arange(h, dtype=jnp.float32)
+    c = jnp.arange(w, dtype=jnp.float32)
+    s = jnp.arange(s1, dtype=jnp.float32)
+    t = jnp.arange(s2, dtype=jnp.float32)
+    by = (0.5 - 0.5 * pos[..., 0]) * 0.5 * (s1 - 1.0)  # (BG, M)
+    bx = (0.5 - 0.5 * pos[..., 1]) * 0.5 * (s2 - 1.0)
+    iy = ay * r[None, None, :] + by[..., None]  # (BG, M, h)
+    ix = ax * c[None, None, :] + bx[..., None]  # (BG, M, w)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(iy[..., None] - s))  # (BG, M, h, S1)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(ix[..., None] - t))  # (BG, M, w, S2)
+    tb = table[jnp.arange(bg) % g]  # (BG, hg, S1, S2)
+    u = jnp.einsum("best,bmwt->bmesw", tb, wx, preferred_element_type=jnp.float32)
+    bias = jnp.einsum(
+        "bmhs,bmesw->bemhw", wy, u, preferred_element_type=jnp.float32
+    )  # (BG, hg, M, h, w)
+    return bias.astype(out_dtype)

@@ -359,3 +359,186 @@ def shift_region_ids(hp: int, wp: int, ws: int, shift: int) -> np.ndarray:
             cnt += 1
     img = img.reshape(hp // ws, ws, wp // ws, ws).transpose(0, 2, 1, 3)
     return img.reshape(-1, ws * ws)
+
+
+# --------------------------------------------------------------------------
+# v3 kernel: window partition/reverse folded into the kernel (map layout).
+#
+# The v2 kernel still pays two XLA layout passes per attention call:
+# window_partition before and window_reverse after — measured ~1.8 ms/call
+# at stage-1 480p shapes vs a ~0.4 ms traffic bound (HBM round trips with
+# transpose-unfriendly access patterns).  v3 consumes the qkv MAP
+# (B, Hp, Wp, 3C) directly: each grid step reads a band of window rows, does
+# the partition as a VMEM-local relayout (~1us, vs ms-scale in HBM), runs
+# the same per-head attention as v2, and un-partitions on the way out.
+# Cyclic shift (roll) stays in XLA on the C-wide input map — cheap and
+# exact; padding stays in XLA too.
+# --------------------------------------------------------------------------
+
+
+def _attn_kernel_v3(
+    qkv_ref, bias_ref, region_ref, o_ref, outw_ref, *, scale, heads, ws,
+    nwin_w
+):
+    """One band of window rows, ALL heads.
+
+    qkv: (1, rows*ws, Wp, 3C) VMEM; bias: (heads, N, N) f32;
+    region: (rows*nwin_w, N) int32; out: (1, rows*ws, Wp, C);
+    outw_ref: (G, N, C) VMEM scratch (per-head lane-slice writes).
+    """
+    qkv = qkv_ref[0]
+    rh, wp, c3 = qkv.shape
+    rows = rh // ws
+    n = ws * ws
+    c = c3 // 3
+    d = c // heads
+    # VMEM-local window partition (the whole point of v3)
+    qkvw = (
+        qkv.reshape(rows, ws, nwin_w, ws, c3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(rows * nwin_w, n, c3)
+    )
+    # region arrives pre-banded as (n_bands, g, N): the block covers dims
+    # (g, N) fully, satisfying Mosaic's block-divisibility rule for any g
+    region = region_ref[0]
+    neq = region[:, :, None] != region[:, None, :]  # (G, N, N)
+    for h in range(heads):
+        q = qkvw[:, :, h * d : (h + 1) * d]
+        k = qkvw[:, :, c + h * d : c + (h + 1) * d]
+        v = qkvw[:, :, 2 * c + h * d : 2 * c + (h + 1) * d]
+        s = jax.lax.dot_general(
+            (q * scale).astype(q.dtype),
+            k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (G, N, N) f32, VMEM-only
+        s = s + bias_ref[h][None]
+        s = jnp.where(neq, s - 1e9, s)
+        p = jax.nn.softmax(s, axis=-1)
+        # static lane-slice ref write (one head's score matrix live at a time)
+        outw_ref[:, :, h * d : (h + 1) * d] = jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+    # VMEM-local window reverse
+    o_ref[0] = (
+        outw_ref[...]
+        .reshape(rows, nwin_w, ws, ws, c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(rh, wp, c)
+    )
+
+
+def pallas_window_attention_map(
+    qkv: jax.Array,  # (B, Hp, Wp, 3C) — qkv projection of the (rolled) map
+    bias: jax.Array,  # (heads, N, N)
+    region: Optional[jax.Array],  # (nW, N) int32 or None (no shift)
+    scale: float,
+    heads: int,
+    ws: int,
+    rows_per_step: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused W-MSA/SW-MSA on the map layout: returns (B, Hp, Wp, C)."""
+    b, hp, wp, c3 = qkv.shape
+    c = c3 // 3
+    n = ws * ws
+    nwin_h, nwin_w = hp // ws, wp // ws
+    if rows_per_step is None:
+        # Budget: f32 score matrix per head (G, N, N) <= ~12 MB plus the
+        # double-buffered qkv band; whole image when it fits.
+        for cand in range(nwin_h, 0, -1):
+            if nwin_h % cand:
+                continue
+            g = cand * nwin_w
+            if g * n * n * 4 <= 12 * 1024 * 1024:
+                rows_per_step = cand
+                break
+        else:
+            rows_per_step = 1
+    assert hp % (rows_per_step * ws) == 0, (hp, rows_per_step, ws)
+    g = rows_per_step * nwin_w
+
+    if region is None:
+        region_full = jnp.zeros((nwin_h * nwin_w, n), jnp.int32)
+    else:
+        region_full = region
+    n_bands = nwin_h // rows_per_step
+    region_banded = region_full.reshape(n_bands, g, n)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_kernel_v3, scale=scale, heads=heads, ws=ws, nwin_w=nwin_w
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), qkv.dtype),
+        grid=(b, nwin_h // rows_per_step),
+        in_specs=[
+            pl.BlockSpec(
+                (1, rows_per_step * ws, wp, c3),
+                lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (heads, n, n), lambda i, j: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, g, n), lambda i, j: (j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),  # this band's region ids, (1, g, N) covers dims fully
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows_per_step * ws, wp, c),
+            lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((g, n, c), qkv.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(qkv, bias.astype(jnp.float32), region_banded)
+    return out
+
+
+def _map_reference(qkv, bias, region, scale, heads, ws):
+    """XLA twin of the v3 kernel (also its backward)."""
+    from ir_ads_tpu.ops.window_attention import (
+        window_partition,
+        window_reverse,
+    )
+
+    b, hp, wp, c3 = qkv.shape
+    c = c3 // 3
+    wins = window_partition(qkv, ws)  # (B*nW, N, 3C)
+    out = _qkv_reference(wins, bias, region, scale, heads)
+    return window_reverse(out, ws, hp, wp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_window_attention_map(qkv, bias, region, scale, heads, ws):
+    """v3 Pallas forward + XLA-recompute backward.
+
+    qkv: (B, Hp, Wp, 3C); bias: (heads, N, N); region: (nW, N) int32 ids or
+    None; returns (B, Hp, Wp, C)."""
+    return pallas_window_attention_map(qkv, bias, region, scale, heads, ws)
+
+
+def _fused_map_fwd(qkv, bias, region, scale, heads, ws):
+    out = pallas_window_attention_map(qkv, bias, region, scale, heads, ws)
+    return out, (qkv, bias, region)
+
+
+def _fused_map_bwd(scale, heads, ws, res, g):
+    qkv, bias, region = res
+    _, vjp = jax.vjp(
+        lambda a, b: _map_reference(a, b, region, scale, heads, ws), qkv, bias
+    )
+    dqkv, dbias = vjp(g)
+    dregion = None if region is None else jnp.zeros_like(region)
+    return dqkv, dbias, dregion
+
+
+fused_window_attention_map.defvjp(_fused_map_fwd, _fused_map_bwd)

@@ -33,6 +33,12 @@ def halo_exchange(x: jax.Array, halo: int, axis_name: str = "space") -> jax.Arra
     Returns (local_H + 2*halo, ...)."""
     idx = jax.lax.axis_index(axis_name)
     n = jax.lax.axis_size(axis_name)
+    if halo > x.shape[0]:
+        raise ValueError(
+            f"halo ({halo}) exceeds the local shard height ({x.shape[0]}); "
+            "ppermute only reaches immediate neighbours — use fewer shards "
+            "or a smaller halo"
+        )
 
     top_rows = x[:halo]  # to send to the upper neighbour
     bot_rows = x[-halo:]  # to send to the lower neighbour

@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # model-level: compile-dominated
+
 
 @pytest.mark.parametrize(
     "name", ["convnext", "focalnet", "vit", "internimage"]

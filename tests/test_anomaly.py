@@ -21,6 +21,8 @@ from ir_ads_tpu.anomaly import (
 )
 from ir_ads_tpu.anomaly.sb import LightSBParams, _exp_argument
 
+pytestmark = pytest.mark.slow  # model-level: compile-dominated
+
 
 def _params(dim=6, n=4, seed=0):
     rng = np.random.RandomState(seed)

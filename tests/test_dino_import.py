@@ -7,6 +7,9 @@ import numpy as np
 
 from ir_ads_tpu.detection.dino import DINODetector
 from ir_ads_tpu.utils.torch_import import import_dino_state_dict
+import pytest
+
+pytestmark = pytest.mark.slow  # model-level: compile-dominated
 
 
 def test_dino_importer_core_paths():

@@ -4,6 +4,9 @@ mapping far above chance on block-structured synthetic data."""
 
 import numpy as np
 import yaml
+import pytest
+
+pytestmark = pytest.mark.slow  # model-level: compile-dominated
 
 
 def test_train_mm_learns(tmp_path):

@@ -17,6 +17,8 @@ from ir_ads_tpu.detection.meta_arch import (
 )
 
 
+pytestmark = pytest.mark.slow  # model-level: compile-dominated
+
 def test_delta_roundtrip():
     rng = np.random.RandomState(0)
     anchors = rng.rand(10, 4).astype(np.float32) * 50

@@ -141,3 +141,68 @@ def test_region_ids_equivalent_to_dense_mask():
         region[:, :, None] != region[:, None, :], -100.0, 0.0
     )
     np.testing.assert_array_equal(dense_from_region, mask)
+
+
+def test_v3_map_kernel_matches_reference():
+    """fused_window_attention_map (interpret) == partition->v2-ref->reverse."""
+    rng = np.random.RandomState(7)
+    b, hp, wp, ws, c, heads = 2, 8, 12, 4, 16, 2
+    n = ws * ws
+    qkv = jnp.asarray(rng.randn(b, hp, wp, 3 * c).astype(np.float32))
+    bias = jnp.asarray(rng.randn(heads, n, n).astype(np.float32))
+    for region in (None, jnp.asarray(shift_region_ids(hp, wp, ws, ws // 2))):
+        want = pallas_swin._map_reference(qkv, bias, region, 0.25, heads, ws)
+        got = pallas_swin.pallas_window_attention_map(
+            qkv, bias, region, 0.25, heads, ws, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5
+        )
+
+
+def test_v3_map_kernel_row_banded_matches():
+    """rows_per_step < nWh must give identical results."""
+    rng = np.random.RandomState(8)
+    b, hp, wp, ws, c, heads = 1, 12, 8, 4, 8, 2
+    n = ws * ws
+    qkv = jnp.asarray(rng.randn(b, hp, wp, 3 * c).astype(np.float32))
+    bias = jnp.asarray(rng.randn(heads, n, n).astype(np.float32))
+    region = jnp.asarray(shift_region_ids(hp, wp, ws, ws // 2))
+    want = pallas_swin._map_reference(qkv, bias, region, 0.5, heads, ws)
+    got = pallas_swin.pallas_window_attention_map(
+        qkv, bias, region, 0.5, heads, ws, rows_per_step=1, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_v3_map_gradients_match_reference(monkeypatch):
+    orig = pallas_swin.pallas_window_attention_map
+    monkeypatch.setattr(
+        pallas_swin,
+        "pallas_window_attention_map",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+    )
+    rng = np.random.RandomState(9)
+    b, hp, wp, ws, c, heads = 1, 8, 8, 4, 8, 2
+    n = ws * ws
+    qkv = jnp.asarray(rng.randn(b, hp, wp, 3 * c).astype(np.float32))
+    bias = jnp.asarray(rng.randn(heads, n, n).astype(np.float32))
+    region = jnp.asarray(shift_region_ids(hp, wp, ws, ws // 2))
+
+    def loss_fused(qkv, bias):
+        return jnp.sum(
+            pallas_swin.fused_window_attention_map(
+                qkv, bias, region, 0.25, heads, ws
+            )
+            ** 2
+        )
+
+    def loss_ref(qkv, bias):
+        return jnp.sum(
+            pallas_swin._map_reference(qkv, bias, region, 0.25, heads, ws) ** 2
+        )
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(qkv, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+    for a, b_ in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)

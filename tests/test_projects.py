@@ -42,6 +42,8 @@ from ir_ads_tpu.models.projects.vitdet import (
 
 
 # ---------------------------------------------------------------- TensorMask
+pytestmark = pytest.mark.slow  # model-level: compile-dominated
+
 def _swap_align2nat_np(x, lam, pad_val):
     """Direct numpy port of the CUDA indexing
     (SwapAlign2Nat_cuda.cu:54-158) for verification."""

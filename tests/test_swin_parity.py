@@ -15,6 +15,9 @@ import torch
 from ir_ads_tpu.models.cmnext import CMNeXt
 from ir_ads_tpu.utils.torch_import import import_cmnext_state_dict
 from tests.utils.torch_swin_ref import CMNeXtRef
+import pytest
+
+pytestmark = pytest.mark.slow  # model-level: compile-dominated
 
 # depth-4 stage exercises the scan-over-block-pairs path + stacked import
 TINY = dict(

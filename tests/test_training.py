@@ -25,6 +25,8 @@ TINY_BACKBONE = dict(
 )
 
 
+pytestmark = pytest.mark.slow  # model-level: compile-dominated
+
 def test_cross_entropy_matches_torch():
     rng = np.random.RandomState(0)
     logits = rng.randn(2, 8, 9, 5).astype(np.float32)

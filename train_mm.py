@@ -181,6 +181,13 @@ def main(cfg, save_dir: Path):
                     extra={"config": {k: v for k, v in cfg.items() if not k.startswith("_")}},
                 )
                 logger.info(f"saved best checkpoint to {ckpt_dir}")
+        # always keep a rolling full checkpoint for requeue/resume
+        # (reference train_mm.py:183-191 dual-save; tools/launch.py picks
+        # the newest manifest on restart)
+        save_checkpoint(
+            str(save_dir / "latest"), state, best_miou, epoch + 1,
+            extra={"config": {k: v for k, v in cfg.items() if not k.startswith("_")}},
+        )
 
     writer.close()
     logger.info(f"done. best mIoU {best_miou} @ epoch {best_epoch}")

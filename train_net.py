@@ -84,7 +84,8 @@ def make_synthetic_coco(root: str, n_images=8, size=96, n_classes=4, seed=0):
 
 
 def evaluate_detector(model, variables, mapper, logger, topk=300,
-                      score_thresh=0.0, class_agnostic=False):
+                      score_thresh=0.0, class_agnostic=False,
+                      evaluator="coco"):
     """Run inference over the dataset and summarize COCO metrics."""
 
     @jax.jit
@@ -112,7 +113,15 @@ def evaluate_detector(model, variables, mapper, logger, topk=300,
         return _infer(variables, imgs)
 
 
-    ev = COCOEvaluator(class_agnostic=class_agnostic)
+    if evaluator == "lvis":
+        # federated LVIS semantics (ir_ads_tpu/detection/lvis_eval.py);
+        # per-image neg/not-exhaustive ids come from the dataset when the
+        # annotations carry them (LVIS json), else default to exhaustive
+        from ir_ads_tpu.detection.lvis_eval import LVISEvaluator
+
+        ev = LVISEvaluator()
+    else:
+        ev = COCOEvaluator(class_agnostic=class_agnostic)
     rng = np.random.default_rng(0)
     n = len(mapper.ds)
     th, tw = mapper.image_size
@@ -138,10 +147,18 @@ def evaluate_detector(model, variables, mapper, logger, topk=300,
              (gt_cxcywh[:, 1] - gt_cxcywh[:, 3] / 2) * oh,
              gt_cxcywh[:, 2] * ow, gt_cxcywh[:, 3] * oh], axis=-1,
         )
+        extra = {}
+        if evaluator == "lvis":
+            extra = dict(
+                neg_category_ids=getattr(sample, "neg_category_ids", ()),
+                not_exhaustive_category_ids=getattr(
+                    sample, "not_exhaustive_category_ids", ()
+                ),
+            )
         ev.add_image(
             boxes, s[sel], np.zeros(sel.sum(), int) if class_agnostic
             else np.asarray(cls_ids[0])[: len(xyxy)][sel],
-            gt_boxes, sample.labels[gt_valid],
+            gt_boxes, sample.labels[gt_valid], **extra,
         )
     stats = ev.summarize()
     logger.info(
@@ -174,6 +191,8 @@ def main():
     p.add_argument("--eval-period", type=int, default=5000)
     p.add_argument("--class-agnostic-eval", action="store_true")
     p.add_argument("--no-teacher", action="store_true")
+    p.add_argument("--evaluator", default="coco", choices=["coco", "lvis"],
+                   help="COCO AP or LVIS federated evaluation")
     p.add_argument("--output", default="output/detection")
     p.add_argument("--resume", default="")
     args = p.parse_args()
@@ -276,6 +295,7 @@ def main():
             stats = evaluate_detector(
                 model, variables_eval, val_mapper, logger,
                 class_agnostic=args.class_agnostic_eval,
+                evaluator=args.evaluator,
             )
             writer.add_scalar("val/AP", stats["AP"], it)
 
@@ -299,6 +319,7 @@ def main():
             model,
             {"params": state.ema_params, "batch_stats": state.batch_stats},
             val_mapper, logger, class_agnostic=args.class_agnostic_eval,
+            evaluator=args.evaluator,
         )
         return stats
     writer.close()

@@ -85,8 +85,30 @@ def main(cfg):
     metrics = Metrics(dataset.n_classes, dataset_cfg["IGNORE_LABEL"])
 
     sliding_cfg = eval_cfg.get("SLIDING", {}) or {}
+    spatial_cfg = eval_cfg.get("SPATIAL_SHARD", {}) or {}
     t0 = time.time()
-    if sliding_cfg.get("ENABLE", False):
+    if spatial_cfg.get("ENABLE", False):
+        # huge-image mode: H-shard one monolithic forward over the mesh's
+        # `space` axis with halo exchange (SURVEY.md §5; parallel/halo.py)
+        from ir_ads_tpu.evaluation.semseg_eval import (
+            make_spatial_sharded_forward,
+        )
+        from ir_ads_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=1, space=len(jax.devices()))
+        halo = int(spatial_cfg.get("HALO", 96))
+
+        def packed_forward(packed):
+            rgb, dte = jnp.split(packed, 2, axis=-1)
+            y, _, _ = model.apply(variables, rgb, dte, train=False)
+            return y
+
+        predict = make_spatial_sharded_forward(packed_forward, mesh, halo)
+        for b in loader:
+            rgb, dte, lbl = b[0], b[1 % (len(b) - 1)], b[-1]
+            logits = predict(jnp.asarray(rgb), jnp.asarray(dte))
+            metrics.update(jnp.argmax(logits, -1), jnp.asarray(lbl))
+    elif sliding_cfg.get("ENABLE", False):
         th, tw = sliding_cfg.get("TILE_SIZE", eval_cfg["IMAGE_SIZE"])
         predict = make_sliding_window_fn(
             forward,
