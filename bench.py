@@ -45,11 +45,12 @@ NUM_CLASSES = 40  # NYU
 BATCH = 4  # throughput batching across frames (metric is frames/sec/chip)
 ITERS = 10
 
-# (name, {env overrides}) in preference order
+# (name, {env overrides}) in preference order.  Whole-model v5e sweep
+# (dev/ablate_full.py, B=8 forward): r1 97.1 ms, r2-pallas2 121.2 ms —
+# the DSCF kernels lose in context to XLA's fused einsums, so r1 is the
+# production config (see DAttentionMM attn_impl notes).
 CONFIGS = [
-    # round 2: v2 window kernels + Pallas DSCF rpe-builder/attention
-    ("r2", {"IR_ADS_SWIN_ATTN": "pallas", "IR_ADS_DSCF_ATTN": "pallas2"}),
-    # round-1 production config: v2 window kernels, XLA DSCF
+    # production: v2 window kernels, XLA DSCF
     ("r1", {"IR_ADS_SWIN_ATTN": "pallas", "IR_ADS_DSCF_ATTN": "xla"}),
     # pure XLA (always compiles)
     ("xla", {"IR_ADS_SWIN_ATTN": "xla", "IR_ADS_DSCF_ATTN": "xla"}),
@@ -68,6 +69,44 @@ def measure_data_loader(n_imgs: int = 24, batch: int = 4) -> float:
     with tempfile.TemporaryDirectory() as root:
         make_dataset_tree(root, n_imgs)
         return measure(root, batch, workers=8, mode="thread", epochs=2)
+
+
+def measure_data_loader_cached(n_imgs: int = 32, batch: int = 4) -> float:
+    """Eval-path img/s from the decode-once raw cache (data/cache.py):
+    uint8 batches + on-device Normalize — the pipeline that actually feeds
+    the headline sliding-window eval."""
+    import sys
+    import tempfile
+    import time as _time
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from dev.bench_data_real import make_dataset_tree
+
+    from ir_ads_tpu.data.augmentations import (
+        get_val_augmentation_device_norm,
+    )
+    from ir_ads_tpu.data.cache import RawCache
+    from ir_ads_tpu.data.datasets import get_dataset
+    from ir_ads_tpu.data.loader import DataLoader
+
+    with tempfile.TemporaryDirectory() as root:
+        make_dataset_tree(root, n_imgs)
+        ds = get_dataset("NYU")(root, "train", None, ["img", "depth"])
+        cached = RawCache.build(
+            ds,
+            os.path.join(root, "_cache"),
+            transform=get_val_augmentation_device_norm((480, 640)),
+        )
+        cached.modals = ds.modals
+        loader = DataLoader(cached, batch, shuffle=False, num_workers=4)
+        n = 0
+        for e in range(2):  # epoch 0 warms the page cache
+            if e == 1:
+                t0 = _time.time()
+            for b in loader:
+                if e == 1:
+                    n += b[0].shape[0]
+        return n / (_time.time() - t0)
 
 
 def run_config(env: dict) -> dict:
@@ -165,6 +204,10 @@ def main():
         data_ips = round(measure_data_loader(), 1)
     except Exception:
         data_ips = None
+    try:
+        data_cached_ips = round(measure_data_loader_cached(), 1)
+    except Exception:
+        data_cached_ips = None
 
     fps = result.pop("fps")
     print(
@@ -184,6 +227,7 @@ def main():
                     "device": str(jax.devices()[0]),
                     "baseline_note": "est. A100 PyTorch fp16 ~57 fps (no published number)",
                     "data_loader_img_s": data_ips,
+                    "data_loader_cached_img_s": data_cached_ips,
                     "fallback_errors": errors or None,
                 },
             }

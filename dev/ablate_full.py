@@ -71,7 +71,7 @@ def main():
         def body(carry, _):
             r, _ = carry
             out = model.apply(v, r, dte, train=False)[0]
-            s = jnp.sum(out)
+            s = jnp.sum(out).astype(jnp.float32)
             return (rgb + (s * 0.0).astype(r.dtype), s), None
 
         (_, s_last), _ = jax.lax.scan(body, (r, jnp.float32(0)), None, length=n)

@@ -37,10 +37,17 @@ def _fetch_worker(i: int):
 
 
 def _collate(samples: List[Tuple[Dict[str, np.ndarray], np.ndarray]], modals):
-    batch_modals = tuple(
-        np.stack([s[0][m] for s in samples]).astype(np.float32) for m in modals
-    )
-    labels = np.stack([s[1] for s in samples]).astype(np.int32)
+    # uint8 modalities stay uint8 (the device-normalize eval path sends
+    # 4x fewer host->device bytes); float pipelines pass through without
+    # the redundant astype copy np.stack already avoids
+    def stack(arrs):
+        out = np.stack(arrs)
+        if out.dtype == np.uint8:
+            return out
+        return out.astype(np.float32, copy=False)
+
+    batch_modals = tuple(stack([s[0][m] for s in samples]) for m in modals)
+    labels = np.stack([s[1] for s in samples]).astype(np.int32, copy=False)
     return batch_modals + (labels,)
 
 

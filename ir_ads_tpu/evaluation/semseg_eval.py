@@ -27,15 +27,23 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ir_ads_tpu.ops.layers import resize_bilinear
 
 
-def make_forward_fn(model, variables) -> Callable:
+def make_forward_fn(model, variables, device_norm: bool = False) -> Callable:
     """Jitted eval forward: (rgb, dte) -> fused-head logits (B, H, W, C).
 
     CRITICAL: variables are passed as jit ARGUMENTS, not captured — a
     closure would embed every parameter as an HLO constant (hundreds of MB
-    for Swin-B), blowing compile time and remote-compile payload caps."""
+    for Swin-B), blowing compile time and remote-compile payload caps.
+
+    ``device_norm`` moves Normalize in-graph: inputs arrive uint8 (4x fewer
+    host->device bytes; pairs with augmentations.get_val_augmentation_device_norm)."""
 
     @jax.jit
     def _forward(variables, rgb, dte):
+        if device_norm:
+            from ir_ads_tpu.data.augmentations import device_normalize
+
+            rgb = device_normalize(rgb, "img")
+            dte = device_normalize(dte, "depth")
         y, _, _ = model.apply(variables, rgb, dte, train=False)
         return y
 

@@ -719,10 +719,13 @@ class DAttentionMM(nn.Module):
             import os
 
             override = os.environ.get("IR_ADS_DSCF_ATTN", "")
-            on_tpu = jax.default_backend() == "tpu"
-            attn_impl = override or (
-                "pallas2" if (on_tpu and h * w >= 4000 and w >= 64) else "xla"
-            )
+            # whole-model sweep on v5e (B=8 480x640 bf16 forward):
+            # xla 97.1 ms, pallas 98.2, pallas2 121.2 — the rpe-builder
+            # kernel wins in isolation (0.11 ms at L0) but its
+            # (B*g, hg, 2n, h, w) -> (B*g, HW, hg, 2n) output relayout
+            # costs more than the einsum path XLA already fuses.  Keep XLA
+            # as the in-context default; kernels stay selectable.
+            attn_impl = override or "xla"
         if attn_impl in ("pallas", "pallas2"):
             from ir_ads_tpu.ops.pallas_dscf import NEG_INF, dscf_attention
 

@@ -74,10 +74,29 @@ def main(cfg):
     transform = get_val_augmentation(eval_cfg["IMAGE_SIZE"])
     ds_cls = get_dataset(dataset_cfg["NAME"])
     dataset = ds_cls(dataset_cfg["ROOT"], "val", transform, dataset_cfg["MODALS"])
+    cache_dir = eval_cfg.get("CACHE_DIR", "")
+    device_norm = bool(cache_dir)
+    if cache_dir:
+        # decode-once raw cache + on-device Normalize: turns the host work
+        # per image into a memcpy + uint8 batch assembly (data/cache.py)
+        from ir_ads_tpu.data.augmentations import (
+            get_val_augmentation_device_norm,
+        )
+        from ir_ads_tpu.data.cache import RawCache
+
+        src = dataset
+        dataset = RawCache.build(
+            src,
+            cache_dir,
+            transform=get_val_augmentation_device_norm(eval_cfg["IMAGE_SIZE"]),
+        )
+        dataset.n_classes = src.n_classes
+        dataset.CLASSES = src.CLASSES
+        dataset.modals = src.modals
     model, variables = build_eval_model(
         cfg, dataset.n_classes, eval_cfg["IMAGE_SIZE"]
     )
-    forward = make_forward_fn(model, variables)
+    forward = make_forward_fn(model, variables, device_norm=device_norm)
 
     loader = DataLoader(
         dataset, eval_cfg["BATCH_SIZE"], shuffle=False, drop_last=False
@@ -100,6 +119,11 @@ def main(cfg):
 
         def packed_forward(packed):
             rgb, dte = jnp.split(packed, 2, axis=-1)
+            if device_norm:
+                from ir_ads_tpu.data.augmentations import device_normalize
+
+                rgb = device_normalize(rgb, "img")
+                dte = device_normalize(dte, "depth")
             y, _, _ = model.apply(variables, rgb, dte, train=False)
             return y
 
