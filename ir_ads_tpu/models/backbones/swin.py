@@ -837,7 +837,11 @@ class DeformMPGBlock(nn.Module):
         self, x_rgb: jax.Array, x_dte: jax.Array, train: bool = False
     ) -> jax.Array:
         if ablated("dscf"):  # perf-attribution stub, never set in production
-            return jnp.zeros_like(x_rgb)
+            # keep a runtime data dependency: pure zeros constant-fold and
+            # XLA then DCEs the whole fused-head path (measured -0.4 ms)
+            return jnp.zeros_like(x_rgb) + (
+                0.0 * jnp.mean(x_rgb)
+            ).astype(x_rgb.dtype)
         hidden = int(self.dim * self.ratio)
         kaiming = kaiming_uniform_init()
         a = nn.Dense(hidden, kernel_init=kaiming, dtype=self.dtype, name="D_fc1")(

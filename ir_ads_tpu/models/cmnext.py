@@ -57,8 +57,11 @@ class CMNeXt(nn.Module):
         size = (x_rgb.shape[1], x_rgb.shape[2])
         fused_dim, aux_dim = self.head_dims
         if ablated("head"):  # perf-attribution stub
-            y = jnp.sum(feats[0], axis=-1, keepdims=True) * jnp.zeros(
-                (1, 1, 1, self.num_classes)
+            # consume EVERY pyramid level: touching only feats[0] lets XLA
+            # DCE the other levels' DSCF blocks, overstating the head cost
+            probe = sum(jnp.sum(f).astype(jnp.float32) for f in feats)
+            y = probe.astype(feats[0].dtype) * jnp.zeros(
+                (1, 1, 1, self.num_classes), feats[0].dtype
             )
         else:
             y = SegFormerHead(
