@@ -46,11 +46,14 @@ BATCH = 4  # throughput batching across frames (metric is frames/sec/chip)
 ITERS = 10
 
 # (name, {env overrides}) in preference order.  Whole-model v5e sweep
-# (dev/ablate_full.py, B=8 forward): r1 97.1 ms, r2-pallas2 121.2 ms —
-# the DSCF kernels lose in context to XLA's fused einsums, so r1 is the
-# production config (see DAttentionMM attn_impl notes).
+# (dev/ablate_full.py, B=8 forward): xla-DSCF 97.1 ms, pallas2 121.2 ms,
+# pallas3 62.8 ms — the round-2 rows-layout DSCF path (rpe builder output
+# consumed with zero HBM relayout, transposed-score attention kernel) wins
+# at every level and is the production config (see DAttentionMM notes).
 CONFIGS = [
-    # production: v2 window kernels, XLA DSCF
+    # production: v2 window kernels + pallas3 rows-layout DSCF
+    ("r2", {"IR_ADS_SWIN_ATTN": "pallas", "IR_ADS_DSCF_ATTN": "pallas3"}),
+    # round-1 production: v2 window kernels, XLA DSCF
     ("r1", {"IR_ADS_SWIN_ATTN": "pallas", "IR_ADS_DSCF_ATTN": "xla"}),
     # pure XLA (always compiles)
     ("xla", {"IR_ADS_SWIN_ATTN": "xla", "IR_ADS_DSCF_ATTN": "xla"}),

@@ -719,14 +719,60 @@ class DAttentionMM(nn.Module):
             import os
 
             override = os.environ.get("IR_ADS_DSCF_ATTN", "")
+            if "," in override:  # per-level list, e.g. "pallas3,pallas3,xla,xla"
+                parts = override.split(",")
+                override = parts[min(self.level, len(parts) - 1)].strip()
             # whole-model sweep on v5e (B=8 480x640 bf16 forward):
             # xla 97.1 ms, pallas 98.2, pallas2 121.2 — the rpe-builder
             # kernel wins in isolation (0.11 ms at L0) but its
             # (B*g, hg, 2n, h, w) -> (B*g, HW, hg, 2n) output relayout
-            # costs more than the einsum path XLA already fuses.  Keep XLA
-            # as the in-context default; kernels stay selectable.
-            attn_impl = override or "xla"
-        if attn_impl in ("pallas", "pallas2"):
+            # costs more than the einsum path XLA already fuses.
+            # "pallas3" (round 2) keeps the builder's row-major layout all
+            # the way through the attention kernel (transposed scores), so
+            # no relayout exists at all: 97.1 -> 62.8 ms whole-model, and
+            # it wins at every level — the in-context default.
+            attn_impl = override or (
+                "pallas3"
+                if (2 * n % 8 == 0 and jax.default_backend() == "tpu")
+                else "xla"
+            )
+        if attn_impl == "pallas3" and 2 * n % 8 == 0:
+            from ir_ads_tpu.ops.pallas_dscf import dscf_attention_rows
+            from ir_ads_tpu.ops.pallas_dscf_rpe import dscf_rpe_bias_rows
+
+            store = self.dtype or jnp.float32
+            gc_ = c // g
+            mp = -(-2 * n // 8) * 8
+            pos_cat = jnp.concatenate(
+                [pos_x.reshape(b * g, n, 2), pos_y.reshape(b * g, n, 2)],
+                axis=1,
+            )
+            table4 = rpe_table.reshape(g, hg, s1, s2)
+            bias_rows = dscf_rpe_bias_rows(
+                pos_cat, table4, h, w, store
+            )  # (B*g, hg, h, 2n, w)
+
+            def to_groups(t, m):  # (B, M, C) -> (B*g, M, gc)
+                return (
+                    t.reshape(b, m, g, gc_)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(b * g, m, gc_)
+                )
+
+            qg = to_groups(q.reshape(b, h * w, c), h * w)
+            kg = jnp.pad(
+                to_groups(k, 2 * n), ((0, 0), (0, mp - 2 * n), (0, 0))
+            )
+            vg = jnp.pad(
+                to_groups(v, 2 * n), ((0, 0), (0, mp - 2 * n), (0, 0))
+            )
+            out = dscf_attention_rows(qg, kg, vg, bias_rows, scale, hg)
+            out = (
+                out.reshape(b, g, h * w, gc_)
+                .transpose(0, 2, 1, 3)
+                .reshape(b, h, w, c)
+            )
+        elif attn_impl in ("pallas", "pallas2"):
             from ir_ads_tpu.ops.pallas_dscf import NEG_INF, dscf_attention
 
             gc_ = c // g

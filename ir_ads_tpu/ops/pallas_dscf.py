@@ -128,6 +128,145 @@ def pallas_dscf_attention(
     return out[:, :hw]
 
 
+def _dscf_rows_kernel(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, hg, tile_r, w, m
+):
+    """Row-tiled kernel consuming the rpe builder's natural layout.
+
+    Grid: (BG, h // tile_r).  Blocks:
+      q_ref:    (1, tile_r*w, GC)
+      k_ref:    (1, Mp, GC)        — Mp = M rounded up to 8, zero-padded
+      v_ref:    (1, Mp, GC)
+      bias_ref: (1, hg, tile_r, M, w)  from bias (BG, hg, h, M, w)
+      o_ref:    (1, tile_r*w, GC)
+
+    Scores are computed TRANSPOSED (sT = K·Qᵀ, key-major) so the bias plane
+    bias[e, rr] (M, w) adds with no transpose at all; softmax reduces over
+    the sublane (key) axis.  Everything except q/k/v/bias loads and the
+    output store stays in VMEM.
+    """
+    k = k_ref[0]  # (Mp, GC)
+    v = v_ref[0]
+    mp = k.shape[0]
+    gc = k.shape[-1]
+    hc = gc // hg
+    for e in range(hg):
+        ke = k[:, e * hc : (e + 1) * hc]
+        ve = v[:, e * hc : (e + 1) * hc]
+        for rr in range(tile_r):
+            qe = q_ref[0, rr * w : (rr + 1) * w, e * hc : (e + 1) * hc]
+            sT = jax.lax.dot_general(
+                ke,
+                (qe * scale).astype(qe.dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Mp, w) f32, key-major
+            s = sT[:m] + bias_ref[0, e, rr].astype(jnp.float32)  # (M, w)
+            if mp != m:
+                s = jnp.concatenate(
+                    [s, jnp.full((mp - m, w), NEG_INF, jnp.float32)], axis=0
+                )
+            mx = jnp.max(s, axis=0, keepdims=True)
+            ex = jnp.exp(s - mx)
+            den = jnp.sum(ex, axis=0, keepdims=True)  # (1, w)
+            o = jax.lax.dot_general(
+                ex.astype(ve.dtype),
+                ve,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (w, hc)
+            o = o / den.reshape(w, 1)
+            o_ref[0, rr * w : (rr + 1) * w, e * hc : (e + 1) * hc] = o.astype(
+                o_ref.dtype
+            )
+
+
+def _pick_tile_r(h: int) -> int:
+    for t in range(min(8, h), 0, -1):
+        if h % t == 0:
+            return t
+    return 1
+
+
+def pallas_dscf_attention_rows(
+    q: jax.Array,      # (BG, h*w, GC)
+    k: jax.Array,      # (BG, Mp, GC)
+    v: jax.Array,      # (BG, Mp, GC)
+    bias: jax.Array,   # (BG, hg, h, M, w) — rpe builder rows layout
+    scale: float,
+    hg: int,
+    interpret: bool = False,
+) -> jax.Array:
+    bg, hw, gc = q.shape
+    mp = k.shape[1]
+    _, _, h, m, w = bias.shape
+    assert hw == h * w and m <= mp, (q.shape, k.shape, bias.shape)
+    tile_r = _pick_tile_r(h)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _dscf_rows_kernel, scale=scale, hg=hg, tile_r=tile_r, w=w, m=m
+        ),
+        out_shape=jax.ShapeDtypeStruct((bg, hw, gc), q.dtype),
+        grid=(bg, h // tile_r),
+        in_specs=[
+            pl.BlockSpec((1, tile_r * w, gc), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, gc), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, gc), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hg, tile_r, m, w), lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_r * w, gc), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q, k, v, bias)
+    return out
+
+
+def dscf_rows_reference(q, k, v, bias, scale, hg):
+    """XLA twin of the rows kernel (also its backward)."""
+    bg, hw, gc = q.shape
+    mp = k.shape[1]
+    _, _, h, m, w = bias.shape
+    # (BG, hg, h, M, w) -> packed (BG, HW, hg*Mp) with -inf padded keys
+    b4 = bias.astype(jnp.float32).transpose(0, 2, 4, 1, 3)  # (BG, h, w, hg, M)
+    b4 = jnp.pad(
+        b4,
+        ((0, 0), (0, 0), (0, 0), (0, 0), (0, mp - m)),
+        constant_values=NEG_INF,
+    )
+    packed = b4.reshape(bg, hw, hg * mp).astype(q.dtype)
+    return dscf_reference(q, k, v, packed, scale, hg)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def dscf_attention_rows(q, k, v, bias, scale, hg):
+    """Fused forward (Pallas, rows layout) + XLA-recompute backward."""
+    return pallas_dscf_attention_rows(q, k, v, bias, scale, hg)
+
+
+def _rows_fwd(q, k, v, bias, scale, hg):
+    return pallas_dscf_attention_rows(q, k, v, bias, scale, hg), (q, k, v, bias)
+
+
+def _rows_bwd(scale, hg, res, g):
+    q, k, v, bias = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, d: dscf_rows_reference(a, b, c, d, scale, hg),
+        q, k, v, bias,
+    )
+    return vjp(g)
+
+
+dscf_attention_rows.defvjp(_rows_fwd, _rows_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def dscf_attention(q, k, v, bias, scale, hg):
     """Fused forward (Pallas) + XLA-recompute backward.

@@ -139,6 +139,122 @@ def _rpe_bwd(h, w, out_dtype, res, g):
 dscf_rpe_bias.defvjp(_rpe_fwd, _rpe_bwd)
 
 
+def _rpe_rows_kernel(
+    pos_ref, table_ref, out_ref, *, h, w, s1, s2, jc, hg, out_dtype
+):
+    """Row-interleaved variant.  Grid: (BG, M // jc).  Blocks:
+    pos_ref:   (1, jc, 2) f32
+    table_ref: (1, hg, s1, s2) f32
+    out_ref:   (1, hg, h, jc, w) — bias written as out[0, e, :, j, :]
+
+    Identical math to ``_rpe_kernel``; only the output layout differs.  The
+    (BG, hg, h, M, w) array lets the attention consumer slice a full
+    (M, w) bias plane per (head, query-row) with NO relayout — the round-2
+    finding was that the (BG, hg, M, h, w) -> (BG, HW, hg*Mp) transpose in
+    HBM cost more than the whole einsum path (swin.py DAttentionMM notes).
+    """
+    ay = (s1 - 1.0) / (2.0 * (h - 1.0))
+    ax = (s2 - 1.0) / (2.0 * (w - 1.0))
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (h, s1), 0).astype(jnp.float32)
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, (h, s1), 1).astype(jnp.float32)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (s2, w), 0).astype(jnp.float32)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (s2, w), 1).astype(jnp.float32)
+
+    for j in range(jc):
+        py = pos_ref[0, j, 0]
+        px = pos_ref[0, j, 1]
+        by = (0.5 - 0.5 * py) * 0.5 * (s1 - 1.0)
+        bx = (0.5 - 0.5 * px) * 0.5 * (s2 - 1.0)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(ay * r_ids + by - s_ids))  # (h, s1)
+        wxT = jnp.maximum(0.0, 1.0 - jnp.abs(ax * c_ids + bx - t_ids))  # (s2, w)
+        for e in range(hg):
+            u = jax.lax.dot_general(
+                table_ref[0, e], wxT,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (s1, w)
+            bias = jax.lax.dot_general(
+                wy, u,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (h, w)
+            out_ref[0, e, :, j, :] = bias.astype(out_dtype)
+
+
+def dscf_rpe_bias_rows_pallas(
+    pos: jax.Array,       # (BG, M, 2) f32, (y, x) in [-1, 1]
+    table: jax.Array,     # (G, hg, S1, S2) f32
+    h: int,
+    w: int,
+    out_dtype=jnp.bfloat16,
+    j_chunk: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns bias (BG, hg, h, M, w).  BG = B * G (group-minor)."""
+    bg, m, _ = pos.shape
+    g, hg, s1, s2 = table.shape
+    if j_chunk is None:
+        j_chunk = 8 if m % 8 == 0 else m
+    assert m % j_chunk == 0, (m, j_chunk)
+
+    kernel = functools.partial(
+        _rpe_rows_kernel, h=h, w=w, s1=s1, s2=s2, jc=j_chunk, hg=hg,
+        out_dtype=out_dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bg, hg, h, m, w), out_dtype),
+        grid=(bg, m // j_chunk),
+        in_specs=[
+            pl.BlockSpec((1, j_chunk, 2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hg, s1, s2), lambda i, j, g=g: (i % g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hg, h, j_chunk, w), lambda i, j: (i, 0, 0, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(pos, table)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def dscf_rpe_bias_rows(pos, table, h, w, out_dtype=jnp.bfloat16):
+    """Differentiable entry: Pallas forward + XLA-recompute backward."""
+    return dscf_rpe_bias_rows_pallas(pos, table, h, w, out_dtype=out_dtype)
+
+
+def _rpe_rows_fwd(pos, table, h, w, out_dtype):
+    return dscf_rpe_bias_rows_pallas(pos, table, h, w, out_dtype=out_dtype), (
+        pos,
+        table,
+    )
+
+
+def _rpe_rows_bwd(h, w, out_dtype, res, g):
+    pos, table = res
+    _, vjp = jax.vjp(
+        lambda p, t: dscf_rpe_bias_rows_reference(p, t, h, w, out_dtype),
+        pos,
+        table,
+    )
+    return vjp(g)
+
+
+dscf_rpe_bias_rows.defvjp(_rpe_rows_fwd, _rpe_rows_bwd)
+
+
+def dscf_rpe_bias_rows_reference(pos, table, h, w, out_dtype=jnp.bfloat16):
+    """XLA twin of the rows kernel (same layout), for tests + backward."""
+    bias = dscf_rpe_bias_reference(pos, table, h, w, out_dtype=jnp.float32)
+    # (BG, hg, M, h, w) -> (BG, hg, h, M, w)
+    return bias.transpose(0, 1, 3, 2, 4).astype(out_dtype)
+
+
 def dscf_rpe_bias_reference(pos, table, h, w, out_dtype=jnp.bfloat16):
     """XLA twin of the kernel (same layout), for tests and the backward."""
     bg, m, _ = pos.shape
