@@ -181,11 +181,20 @@ def _dscf_rows_kernel(
             )
 
 
-def _pick_tile_r(h: int) -> int:
+def _pick_tile_r(h: int, w: int) -> int:
+    """Largest row tile <= 8 whose q/o block passes the Mosaic block rule.
+
+    The q/o blocks are (1, tile_r*w, GC): their second-to-last dim must be a
+    multiple of 8 or equal the FULL h*w (the "equal to the overall array dim"
+    escape).  E.g. (h, w) = (15, 20) has no divisor t with 8 | t*20, so the
+    only legal tiling is the whole plane (tile_r = h) — that shape bit the
+    round-2 bench (fell back to r1 with a lowering error) when the tile rule
+    ignored w.
+    """
     for t in range(min(8, h), 0, -1):
-        if h % t == 0:
+        if h % t == 0 and (t * w) % 8 == 0:
             return t
-    return 1
+    return h
 
 
 def pallas_dscf_attention_rows(
@@ -201,7 +210,7 @@ def pallas_dscf_attention_rows(
     mp = k.shape[1]
     _, _, h, m, w = bias.shape
     assert hw == h * w and m <= mp, (q.shape, k.shape, bias.shape)
-    tile_r = _pick_tile_r(h)
+    tile_r = _pick_tile_r(h, w)
 
     out = pl.pallas_call(
         functools.partial(

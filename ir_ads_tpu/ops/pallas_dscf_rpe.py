@@ -145,40 +145,44 @@ def _rpe_rows_kernel(
     """Row-interleaved variant.  Grid: (BG, M // jc).  Blocks:
     pos_ref:   (1, jc, 2) f32
     table_ref: (1, hg, s1, s2) f32
-    out_ref:   (1, hg, h, jc, w) — bias written as out[0, e, :, j, :]
+    out_ref:   (1, hg, h, jc, w) — a full (h, jc, w) plane stored per head
 
     Identical math to ``_rpe_kernel``; only the output layout differs.  The
     (BG, hg, h, M, w) array lets the attention consumer slice a full
     (M, w) bias plane per (head, query-row) with NO relayout — the round-2
     finding was that the (BG, hg, M, h, w) -> (BG, HW, hg*Mp) transpose in
     HBM cost more than the whole einsum path (swin.py DAttentionMM notes).
+
+    The whole j-chunk is computed with two batched dots and one
+    leading-dims transpose.  An earlier per-j loop storing
+    ``out[0, e, :, j, :]`` hit an unsupported Mosaic reshape
+    ((h, w) -> (1, 1, h, 1, w) on a rank-5 ref); interior-index stores on
+    rank-5 refs do not lower, full-plane stores + tpu.transpose on the
+    vreg-array dims do (dev/probe_mosaic.py).
     """
     ay = (s1 - 1.0) / (2.0 * (h - 1.0))
     ax = (s2 - 1.0) / (2.0 * (w - 1.0))
-    r_ids = jax.lax.broadcasted_iota(jnp.int32, (h, s1), 0).astype(jnp.float32)
-    s_ids = jax.lax.broadcasted_iota(jnp.int32, (h, s1), 1).astype(jnp.float32)
-    t_ids = jax.lax.broadcasted_iota(jnp.int32, (s2, w), 0).astype(jnp.float32)
-    c_ids = jax.lax.broadcasted_iota(jnp.int32, (s2, w), 1).astype(jnp.float32)
-
-    for j in range(jc):
-        py = pos_ref[0, j, 0]
-        px = pos_ref[0, j, 1]
-        by = (0.5 - 0.5 * py) * 0.5 * (s1 - 1.0)
-        bx = (0.5 - 0.5 * px) * 0.5 * (s2 - 1.0)
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(ay * r_ids + by - s_ids))  # (h, s1)
-        wxT = jnp.maximum(0.0, 1.0 - jnp.abs(ax * c_ids + bx - t_ids))  # (s2, w)
-        for e in range(hg):
-            u = jax.lax.dot_general(
-                table_ref[0, e], wxT,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (s1, w)
-            bias = jax.lax.dot_general(
-                wy, u,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (h, w)
-            out_ref[0, e, :, j, :] = bias.astype(out_dtype)
+    pos = pos_ref[0]  # (jc, 2)
+    by = (0.5 - 0.5 * pos[:, 0:1]) * 0.5 * (s1 - 1.0)  # (jc, 1)
+    bx = (0.5 - 0.5 * pos[:, 1:2]) * 0.5 * (s2 - 1.0)
+    r3 = jax.lax.broadcasted_iota(jnp.int32, (jc, h, s1), 1).astype(jnp.float32)
+    s3 = jax.lax.broadcasted_iota(jnp.int32, (jc, h, s1), 2).astype(jnp.float32)
+    t3 = jax.lax.broadcasted_iota(jnp.int32, (jc, s2, w), 1).astype(jnp.float32)
+    c3 = jax.lax.broadcasted_iota(jnp.int32, (jc, s2, w), 2).astype(jnp.float32)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(ay * r3 + by[:, :, None] - s3))
+    wxT = jnp.maximum(0.0, 1.0 - jnp.abs(ax * c3 + bx[:, :, None] - t3))
+    for e in range(hg):
+        u = jax.lax.dot_general(
+            wxT, table_ref[0, e],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (jc, w, s1):  u[j, c, s] = sum_t hat(ix[c,j]-t) T_e[s, t]
+        bias = jax.lax.dot_general(
+            wy, u,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (jc, h, w)
+        out_ref[0, e] = bias.transpose(1, 0, 2).astype(out_dtype)
 
 
 def dscf_rpe_bias_rows_pallas(

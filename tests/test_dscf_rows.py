@@ -46,9 +46,25 @@ def test_rpe_rows_kernel_matches_reference(h, w, g, hg):
     )
 
 
-@pytest.mark.parametrize("m,mp", [(16, 16), (12, 16)])
-def test_rows_attention_kernel_matches_reference(m, mp):
-    bg, h, w, gc, hg = 2, 8, 16, 16, 2
+def test_pick_tile_r_respects_block_rule():
+    # (15, 20): no divisor t of 15 has 8 | t*20 -> must take the whole plane
+    # (this is DSCF level 3 of the 480x640 headline bench; the r1->r2 bench
+    # fallback was caused by tile_r=5 here)
+    assert pallas_dscf._pick_tile_r(15, 20) == 15
+    assert pallas_dscf._pick_tile_r(120, 160) == 8
+    assert pallas_dscf._pick_tile_r(30, 40) == 6
+    for h, w in [(15, 20), (120, 160), (30, 40), (7, 24), (9, 20)]:
+        t = pallas_dscf._pick_tile_r(h, w)
+        assert h % t == 0
+        assert (t * w) % 8 == 0 or t == h
+
+
+@pytest.mark.parametrize(
+    "m,mp,shape",
+    [(16, 16, None), (12, 16, None), (16, 16, (2, 15, 20, 16, 2))],
+)
+def test_rows_attention_kernel_matches_reference(m, mp, shape):
+    bg, h, w, gc, hg = shape or (2, 8, 16, 16, 2)
     scale = 0.25
     ks = jax.random.split(jax.random.PRNGKey(1), 4)
     q = jax.random.normal(ks[0], (bg, h * w, gc), jnp.float32)

@@ -37,6 +37,7 @@ def test_quant_dense_param_tree_matches_nn_dense():
     np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_d), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_whole_model_int8_parity_budget():
     """Measure the w8a8-vs-float parity budget on the tiny CMNeXt: pixel
     argmax agreement must be high (the ±0.1-mIoU argument) and the param

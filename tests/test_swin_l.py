@@ -18,6 +18,7 @@ def test_swin_l_defaults():
     assert m.use_remat
 
 
+@pytest.mark.slow
 def test_scan_remat_train_step_tiny_dims():
     """remat'd scanned block pairs must trace, run and differentiate (the
     deep-stage code path Swin-L uses), on small dims for speed."""
