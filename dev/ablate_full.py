@@ -18,6 +18,11 @@ The per-component cost = baseline_ms - ablated_ms (in context).
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import functools
 import json

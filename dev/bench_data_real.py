@@ -12,6 +12,11 @@ Usage: python dev/bench_data_real.py [--n 64] [--batch 4] [--workers 8]
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import os

@@ -7,6 +7,10 @@ Mosaic block-rule lowering failures in seconds instead of inside the
 300-second whole-model bench compile.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax

@@ -4,6 +4,10 @@ kernels need.  Each probe compiles a tiny kernel on the real TPU and
 prints OK/FAIL — so kernel design decisions rest on facts, not guesses.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import traceback
 
 import jax

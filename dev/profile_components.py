@@ -12,6 +12,11 @@ Usage:  python dev/profile_components.py            # real TPU
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import time
