@@ -43,11 +43,22 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--size", default="480x640")
     p.add_argument("--list", action="store_true")
+    p.add_argument(
+        "--env", action="append", default=[],
+        help="extra KEY=VAL env (e.g. IR_ADS_INT8=1), applied before tracing",
+    )
+    p.add_argument(
+        "--dual", action="store_true",
+        help="dual_batch=True: both modality streams in one stage pass",
+    )
     args = p.parse_args()
     if args.list:
         print(TAGS)
         return
     os.environ["IR_ADS_ABLATE"] = args.ablate
+    for kv in args.env:
+        k, _, v = kv.partition("=")
+        os.environ[k] = v
 
     import jax
     import jax.numpy as jnp
@@ -61,6 +72,7 @@ def main():
     model = CMNeXt(
         backbone="SwinTransformer-B", num_classes=40,
         dtype=jnp.bfloat16, mmst_mask=False,
+        backbone_kwargs=dict(dual_batch=True) if args.dual else None,
     )
     key = jax.random.PRNGKey(0)
     rgb = jax.random.normal(key, (args.batch, h, w, 3), jnp.bfloat16)
