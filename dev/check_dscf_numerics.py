@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Real-TPU numerics check for the pallas3 DSCF kernels vs their XLA twins.
+
+Interpret-mode tests (tests/test_dscf_rows.py) pin semantics; this checks
+the actual Mosaic lowering at a production-like shape (level-1 of the
+480x640 bench, f32 inputs, tight tolerance).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ir_ads_tpu.ops.pallas_dscf import (
+    dscf_rows_reference,
+    pallas_dscf_attention_rows,
+)
+from ir_ads_tpu.ops.pallas_dscf_rpe import (
+    dscf_rpe_bias_rows_pallas,
+    dscf_rpe_bias_rows_reference,
+)
+
+B, G, HG, GC = 2, 2, 2, 128
+H, W, M = 60, 80, 600
+S1, S2 = 119, 159
+
+ks = jax.random.split(jax.random.PRNGKey(0), 6)
+pos = jax.random.uniform(ks[0], (B * G, M, 2), jnp.float32, -1.0, 1.0)
+table = jax.random.normal(ks[1], (G, HG, S1, S2), jnp.float32) * 0.02
+
+got = jax.jit(
+    lambda p, t: dscf_rpe_bias_rows_pallas(p, t, H, W, jnp.float32)
+)(pos, table)
+want = dscf_rpe_bias_rows_reference(pos, table, H, W, out_dtype=jnp.float32)
+err = float(jnp.max(jnp.abs(got - want)))
+print(f"rpe rows kernel max|err| = {err:.3e}")
+assert err < 1e-4, err
+
+q = jax.random.normal(ks[2], (B * G, H * W, GC), jnp.float32)
+k = jax.random.normal(ks[3], (B * G, M, GC), jnp.float32)
+v = jax.random.normal(ks[4], (B * G, M, GC), jnp.float32)
+bias = jax.random.normal(ks[5], (B * G, HG, H, M, W), jnp.float32)
+got = jax.jit(
+    lambda *a: pallas_dscf_attention_rows(*a, 0.125, HG)
+)(q, k, v, bias)
+want = dscf_rows_reference(q, k, v, bias, 0.125, HG)
+err = float(jnp.max(jnp.abs(got - want)))
+print(f"rows attention kernel max|err| = {err:.3e}")
+assert err < 1e-3, err
+print("TPU NUMERICS OK")

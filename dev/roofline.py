@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Analytic FLOP/byte roofline for the headline bench workload.
+
+Computes per-component matmul FLOPs and principal HBM traffic for the
+dual-stream Swin-B CMNeXt forward at 480x640 (the bench's per-program
+batch: BATCH frames x2 for the flip ensemble), then combines with measured
+in-context ablation deltas (/tmp/ablate_sweep.jsonl, dev/run_sweep.sh) to
+produce the bound-vs-measured table VERDICT r1 item 1c asked for.
+
+Machine model (measured, not datasheet): this v5e chip sustains
+~91 TFLOP/s on a bare bf16 4096^2 matmul chain (dev notes) and ~2x that
+on s8xs8->s32; HBM ~810 GB/s.  Bounds below use those sustained numbers —
+"within 1.5x of bound" means vs achievable, not marketing peak.
+"""
+
+import json
+import os
+import sys
+
+B = 8               # images per forward (4 frames x flip)
+H, W = 480, 640
+EMBED = 128
+DEPTHS = (2, 2, 18, 2)
+HEADS = (4, 8, 16, 32)
+WS = 12
+MLP = 4
+NCLS = 40
+SUSTAINED_BF16 = 91e12
+SUSTAINED_INT8 = 182e12
+HBM = 810e9
+
+
+def ceil_to(v, m):
+    return (v + m - 1) // m * m
+
+
+def stage_dims():
+    out = []
+    h, w = H // 4, W // 4
+    for i, d in enumerate(DEPTHS):
+        c = EMBED * 2**i
+        out.append((h, w, c, d, HEADS[i]))
+        h, w = (h + 1) // 2, (w + 1) // 2
+    return out
+
+
+def swin_block_flops(h, w, c, heads):
+    hp, wp = ceil_to(h, WS), ceil_to(w, WS)
+    hw = hp * wp
+    n = WS * WS
+    qkv = 2 * hw * c * 3 * c
+    proj = 2 * hw * c * c
+    ffn = 2 * 2 * hw * c * MLP * c
+    attn = 2 * 2 * hw * n * c  # scores + PV
+    return qkv + proj + ffn + attn
+
+
+def dscf_flops(h, w, c, g, n_pts=300):
+    gc = 128
+    m = 2 * n_pts
+    bg = g  # per image
+    # sampling: 6 grid_sample_matmul calls (x/y/q x two fields), W then H
+    sample = 6 * bg * (2 * n_pts * w * h * gc + 2 * n_pts * h * gc)
+    # rpe: per (field point, head-of-group): (S1,S2)@(S2,W) + (H,S1)@(S1,W)
+    s1, s2 = 119, 159
+    hg = 2
+    rpe = bg * hg * m * 2 * (w * s2 * s1 + h * s1 * w)
+    # attention: scores + PV
+    attn = bg * hg * 2 * 2 * (h * w) * m * (gc // hg)
+    # projections: fuse_q 3x3 conv + 4 1x1 convs on (h, w) / (m)
+    proj = 2 * h * w * (2 * c) * c * 9 + 3 * 2 * h * w * c * c
+    return dict(sample=sample, rpe=rpe, attn=attn, proj=proj)
+
+
+def main():
+    rows = []
+    total = 0
+    for i, (h, w, c, d, heads) in enumerate(stage_dims()):
+        f = 2 * d * swin_block_flops(h, w, c, heads) * B  # x2 streams
+        rows.append((f"stage{i} ({d} blk x2 streams, c={c})", f))
+        total += f
+    groups = (1, 2, 4, 8)
+    for i, (h, w, c, d, heads) in enumerate(stage_dims()):
+        parts = dscf_flops(h, w, c, groups[i])
+        f = sum(parts.values()) * B
+        rows.append(
+            (
+                f"DSCF L{i} (sample {parts['sample']*B/1e9:.0f}G "
+                f"rpe {parts['rpe']*B/1e9:.0f}G attn {parts['attn']*B/1e9:.0f}G "
+                f"proj {parts['proj']*B/1e9:.0f}G)",
+                f,
+            )
+        )
+        total += f
+    # patch embeds: 4x4x3 -> 128, two streams
+    f = 2 * 2 * (H // 4) * (W // 4) * 128 * 4 * 4 * 3 * B
+    rows.append(("patch embed x2", f))
+    total += f
+    # head (folded form, segformer.py): per-level composed (C_i, 512)
+    # matmuls at native resolution + 1/4-res class conv — the naive
+    # concat+fuse (~40 GFLOP/img) is algebraically eliminated
+    hd = 0
+    for i, (h, w, c, d, _) in enumerate(stage_dims()):
+        hd += 2 * h * w * c * 512
+    h0, w0 = H // 4, W // 4
+    hd += 2 * h0 * w0 * 512 * NCLS
+    rows.append(("SegFormer fused head (folded)", hd * B))
+    total += hd * B
+
+    print(f"workload: {B} images {H}x{W} (4 frames x flip)")
+    print(f"{'component':58s} {'GFLOP':>8s} {'bf16 bound ms':>13s}")
+    for name, f in rows:
+        print(f"{name:58s} {f/1e9:8.1f} {1e3*f/SUSTAINED_BF16:13.2f}")
+    print(f"{'TOTAL':58s} {total/1e9:8.1f} {1e3*total/SUSTAINED_BF16:13.2f}")
+    print(
+        f"bf16 floor {1e3*total/SUSTAINED_BF16:.1f} ms -> "
+        f"{1e3*4/(1e3*total/SUSTAINED_BF16):.0f} fps ceiling; "
+        f"int8 trunk floor ~{1e3*total/SUSTAINED_INT8:.1f} ms -> "
+        f"{1e3*4/(1e3*total/SUSTAINED_INT8):.0f} fps ceiling"
+    )
+
+    sweep = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ablate_sweep.jsonl"
+    if os.path.exists(sweep):
+        print(f"\nmeasured in-context deltas ({sweep}):")
+        base = None
+        for line in open(sweep):
+            r = json.loads(line)
+            tag = r.get("ablate", "")
+            if r.get("dscf") == "xla" and not tag:
+                base = r["forward_ms"]
+                print(f"  baseline (xla dscf): {base:.1f} ms")
+            elif tag:
+                print(f"  -{tag}: {r['forward_ms']:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -568,9 +568,16 @@ class DAttentionMM(nn.Module):
         hc = c // heads
         scale = hc**-0.5
 
+        # int8 MXU eval path (IR_ADS_INT8): the DSCF projections are ~424
+        # GFLOP of the 480p bench forward (dev/roofline.py) — QuantConv is
+        # param-tree identical to nn.Conv, so checkpoints are unaffected
+        from ir_ads_tpu.ops.int8 import QuantConv, int8_enabled
+
+        conv_cls = QuantConv if int8_enabled() else nn.Conv
+
         # fuse_q: conv3x3 + BN + GELU on concat (reference conv_bn_relu)
         xy = jnp.concatenate([x, y], axis=-1)
-        xy = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, name="fuse_q_conv")(xy)
+        xy = conv_cls(c, (3, 3), padding=1, dtype=self.dtype, name="fuse_q_conv")(xy)
         xy = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -579,7 +586,7 @@ class DAttentionMM(nn.Module):
             name="fuse_q_bn",
         )(xy)
         xy = nn.gelu(xy)
-        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_q")(xy)
+        q = conv_cls(c, (1, 1), dtype=self.dtype, name="proj_q")(xy)
 
         # offset fields from each modality, per group
         def group_view(t):  # (B, H, W, C) -> (B*g, H, W, gc)
@@ -629,19 +636,19 @@ class DAttentionMM(nn.Module):
             q_sampled = both(q)
 
         # q-conditioned modality mixing weight (reference get_sample_weight)
-        wgt = nn.Conv(c, (1, 1), dtype=self.dtype, name="sample_weight_fc1")(
+        wgt = conv_cls(c, (1, 1), dtype=self.dtype, name="sample_weight_fc1")(
             q_sampled
         )
         wgt = nn.relu(wgt)
-        wgt = nn.Conv(2, (1, 1), dtype=self.dtype, name="sample_weight_fc2")(wgt)
+        wgt = conv_cls(2, (1, 1), dtype=self.dtype, name="sample_weight_fc2")(wgt)
         wgt = jax.nn.softmax(wgt.astype(jnp.float32), axis=-1)
         sampled = (
             wgt[..., 0:1] * x_sampled.astype(jnp.float32)
             + wgt[..., 1:2] * y_sampled.astype(jnp.float32)
         ).astype(x_sampled.dtype)
 
-        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_k")(sampled)
-        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_v")(sampled)
+        k = conv_cls(c, (1, 1), dtype=self.dtype, name="proj_k")(sampled)
+        v = conv_cls(c, (1, 1), dtype=self.dtype, name="proj_v")(sampled)
 
         # continuous relative position bias sampled from a fixed-size table
         rh, rw = self.rpe_size

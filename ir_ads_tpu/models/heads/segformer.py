@@ -95,7 +95,19 @@ class SegFormerHead(nn.Module):
                     wc.astype(self.dtype),
                     bc.astype(self.dtype),
                 )
-            y = feat @ wc + bc
+            from ir_ads_tpu.ops.int8 import int8_enabled, quantized_matmul
+
+            if int8_enabled():
+                # int8 MXU eval path on the composed projection (exact same
+                # folded weights, w8a8 dynamic quantization)
+                y = (
+                    quantized_matmul(feat, wc.astype(jnp.float32)).astype(
+                        feat.dtype
+                    )
+                    + bc
+                )
+            else:
+                y = feat @ wc + bc
             if i > 0:
                 y = resize_bilinear(y, (h, w), align_corners=False)
             acc = y if acc is None else acc + y

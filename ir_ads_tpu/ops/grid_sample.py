@@ -127,10 +127,23 @@ def grid_sample_matmul(
         0.0, 1.0 - jnp.abs(iy[..., None] - jnp.arange(h, dtype=jnp.float32))
     )  # (B, n, H)
 
+    # In reduced-precision models run the MXU with matching operand dtype:
+    # mixed f32-weight x bf16-feature einsums promote to the (much slower)
+    # f32 MXU path, and the f32->bf16 hat-weight rounding is below the
+    # model's own bf16 noise.  f32 models keep exact f32 weights.
+    wdt = img.dtype if jnp.dtype(img.dtype) == jnp.bfloat16 else jnp.float32
     t = jnp.einsum(
-        "bnw,bhwc->bnhc", wx, img, preferred_element_type=jnp.float32
+        "bnw,bhwc->bnhc",
+        wx.astype(wdt),
+        img,
+        preferred_element_type=jnp.float32,
+    ).astype(wdt)
+    out = jnp.einsum(
+        "bnh,bnhc->bnc",
+        wy.astype(wdt),
+        t,
+        preferred_element_type=jnp.float32,
     )
-    out = jnp.einsum("bnh,bnhc->bnc", wy, t, preferred_element_type=jnp.float32)
     return out.reshape(b, hg_out, wg_out, c).astype(img.dtype)
 
 

@@ -59,6 +59,95 @@ def quantized_matmul(x: jax.Array, kernel: jax.Array) -> jax.Array:
     return out.astype(jnp.float32) * s_x * s_w
 
 
+def quantized_conv(
+    x: jax.Array, kernel: jax.Array, padding
+) -> jax.Array:
+    """w8a8 dynamic-quantized NHWC conv with f32 output.
+
+    x: (B, H, W, Cin); kernel: (kh, kw, Cin, Cout) float.  Weights are
+    per-output-channel symmetric int8.  Activations use a per-tensor scale:
+    a per-pixel scale cannot factor out of a >1x1 conv's tap sum (each
+    output pixel mixes receptive-field pixels with different scales), so the
+    per-token trick from :func:`quantized_matmul` is only exact for 1x1 —
+    callers route 1x1 kernels through the matmul path instead."""
+    s_w = jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0  # (Cout,)
+    s_w = jnp.maximum(s_w, 1e-12)
+    w_q = jnp.clip(jnp.round(kernel / s_w), -127, 127).astype(jnp.int8)
+    xf = x.astype(jnp.float32)
+    s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0  # scalar
+    x_q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    if isinstance(padding, int):
+        padding = [(padding, padding)] * 2
+    out = jax.lax.conv_general_dilated(
+        x_q,
+        w_q,
+        window_strides=(1, 1),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return out.astype(jnp.float32) * s_x * s_w
+
+
+class QuantConv(nn.Module):
+    """Drop-in for nn.Conv (stride 1) with an int8 eval path.
+
+    Same param tree as nn.Conv (kernel (kh, kw, Cin, Cout), bias).  1x1
+    kernels run the exact per-token :func:`quantized_matmul`; larger kernels
+    use :func:`quantized_conv` (per-tensor activation scale).  Accepts the
+    3-D (B, M, C) inputs flax Conv tolerates for 1x1 kernels."""
+
+    features: int
+    kernel_size: tuple = (1, 1)
+    padding: Any = "SAME"
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    quant: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, cin, self.features),
+        )
+        use_int8 = self.quant if self.quant is not None else int8_enabled()
+        out_dtype = self.dtype or x.dtype
+        squeeze = x.ndim == 3
+        if not use_int8:
+            xin = x.astype(out_dtype)
+            if squeeze:
+                xin = xin[:, None]
+            y = jax.lax.conv_general_dilated(
+                xin,
+                kernel.astype(out_dtype),
+                window_strides=(1, 1),
+                padding=(
+                    [(self.padding, self.padding)] * 2
+                    if isinstance(self.padding, int)
+                    else self.padding
+                ),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if squeeze:
+                y = y[:, 0]
+        elif kh == 1 and kw == 1:
+            y = quantized_matmul(x, kernel.reshape(cin, self.features))
+            y = y.astype(out_dtype)
+        else:
+            xin = x[:, None] if squeeze else x
+            y = quantized_conv(xin, kernel.astype(jnp.float32), self.padding)
+            y = y.astype(out_dtype)
+            if squeeze:
+                y = y[:, 0]
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y.astype(out_dtype)
+
+
 class QuantDense(nn.Module):
     """Drop-in nn.Dense with an int8 eval path.
 

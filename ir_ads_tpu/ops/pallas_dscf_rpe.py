@@ -171,17 +171,27 @@ def _rpe_rows_kernel(
     c3 = jax.lax.broadcasted_iota(jnp.int32, (jc, s2, w), 2).astype(jnp.float32)
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(ay * r3 + by[:, :, None] - s3))
     wxT = jnp.maximum(0.0, 1.0 - jnp.abs(ax * c3 + bx[:, :, None] - t3))
+    # MXU operand dtype: when the consumer stores bf16 anyway, run the dots
+    # with bf16 operands (f32 accumulation) — the f32-operand path runs the
+    # MXU at a fraction of the bf16 rate and rpe is ~315 GFLOP of the bench
+    # forward (dev/roofline.py).  The XLA twin stores its intermediates at
+    # the same width (swin.py rpe_bias `store`), so precision is unchanged.
+    cdt = (
+        jnp.bfloat16 if jnp.dtype(out_dtype) == jnp.bfloat16 else jnp.float32
+    )
+    wy = wy.astype(cdt)
+    wxT = wxT.astype(cdt)
     for e in range(hg):
         u = jax.lax.dot_general(
-            wxT, table_ref[0, e],
+            wxT, table_ref[0, e].astype(cdt),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (jc, w, s1):  u[j, c, s] = sum_t hat(ix[c,j]-t) T_e[s, t]
+        ).astype(cdt)  # (jc, w, s1): u[j, c, s] = sum_t hat(ix[c,j]-t) T_e[s,t]
         bias = jax.lax.dot_general(
             wy, u,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (jc, h, w)
+        )  # (jc, h, w) f32
         out_ref[0, e] = bias.transpose(1, 0, 2).astype(out_dtype)
 
 

@@ -9,7 +9,51 @@ import numpy as np
 import pytest
 from flax import linen as nn
 
-from ir_ads_tpu.ops.int8 import QuantDense, quantized_matmul
+from ir_ads_tpu.ops.int8 import (
+    QuantConv,
+    QuantDense,
+    quantized_conv,
+    quantized_matmul,
+)
+
+
+def test_quant_conv_param_tree_and_float_path_match_nn_conv():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 9, 11, 16).astype(np.float32))
+    v_q = QuantConv(8, (3, 3), padding=1).init(jax.random.PRNGKey(0), x)
+    m_d = nn.Conv(8, (3, 3), padding=1)
+    v_d = m_d.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v_q) == jax.tree_util.tree_structure(
+        v_d
+    )
+    y_q = QuantConv(8, (3, 3), padding=1, quant=False).apply(v_d, x)
+    y_d = m_d.apply(v_d, x)
+    np.testing.assert_allclose(
+        np.asarray(y_q), np.asarray(y_d), rtol=1e-5, atol=1e-5
+    )
+    # 3-D (B, M, C) input, 1x1 kernel — the DSCF proj_k/v call shape
+    x3 = jnp.asarray(rng.randn(2, 7, 16).astype(np.float32))
+    m1 = nn.Conv(8, (1, 1))
+    v1 = m1.init(jax.random.PRNGKey(0), x3)
+    y_q3 = QuantConv(8, (1, 1), quant=False).apply(v1, x3)
+    np.testing.assert_allclose(
+        np.asarray(y_q3), np.asarray(m1.apply(v1, x3)), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_quant_conv_int8_close_to_float():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 9, 11, 16).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 16, 8).astype(np.float32) * 0.05)
+    want = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    got = quantized_conv(x, w, 1)
+    err = np.linalg.norm(np.asarray(got - want)) / np.linalg.norm(
+        np.asarray(want)
+    )
+    assert err < 0.03, err
 
 
 def test_quantized_matmul_close_to_float():
