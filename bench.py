@@ -144,9 +144,11 @@ def run_config(env: dict) -> dict:
             )
             return fn(r, d)
 
-        key = jax.random.PRNGKey(1)
-        rgb = jax.random.normal(key, (BATCH, *IMAGE, 3), jnp.bfloat16)
-        dte = jax.random.normal(key, (BATCH, *IMAGE, 3), jnp.bfloat16)
+        # distinct keys per modality: identical stream inputs let XLA CSE
+        # dedupe shared-weight work in some configs (see dev/ablate_full.py)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        rgb = jax.random.normal(k1, (BATCH, *IMAGE, 3), jnp.bfloat16)
+        dte = jax.random.normal(k2, (BATCH, *IMAGE, 3), jnp.bfloat16)
 
         # honest timing: iterate ON DEVICE (scan chains frames through a
         # data dependency) and fetch one scalar; 2-point slope cancels

@@ -74,9 +74,14 @@ def main():
         dtype=jnp.bfloat16, mmst_mask=False,
         backbone_kwargs=dict(dual_batch=True) if args.dual else None,
     )
-    key = jax.random.PRNGKey(0)
-    rgb = jax.random.normal(key, (args.batch, h, w, 3), jnp.bfloat16)
-    dte = jax.random.normal(key, (args.batch, h, w, 3), jnp.bfloat16)
+    # DISTINCT keys: identical rgb/dte once cost a 35 ms phantom in the mpg
+    # ablation — with the per-modality prompts stubbed, the two shared-weight
+    # streams become structurally identical and XLA CSE dedupes the entire
+    # second trunk pass.  Never benchmark a shared-weight multi-stream model
+    # with identical stream inputs.
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    rgb = jax.random.normal(k1, (args.batch, h, w, 3), jnp.bfloat16)
+    dte = jax.random.normal(k2, (args.batch, h, w, 3), jnp.bfloat16)
     t0 = time.time()
     variables = jax.jit(
         lambda: model.init({"params": jax.random.PRNGKey(0)}, rgb, dte)

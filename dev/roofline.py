@@ -124,7 +124,10 @@ def main():
         print(f"\nmeasured in-context deltas ({sweep}):")
         base = None
         for line in open(sweep):
-            r = json.loads(line)
+            try:
+                r = json.loads(line)
+            except ValueError:
+                continue  # truncated line from a timed-out run
             tag = r.get("ablate", "")
             if r.get("dscf") == "xla" and not tag:
                 base = r["forward_ms"]

@@ -12,8 +12,12 @@ run() { # run <label> <dscf_impl> [extra ablate_full args...]
   echo "{\"label\": \"$label\", $(echo "$line" | sed 's/^{//')" >> "$OUT"
   echo "done $label: $line"
 }
-run cache_probe pallas3
+run baseline pallas3
+run baseline_repeat pallas3
+run nodscf pallas3 --ablate dscf
+run mpg_rerun pallas3 --ablate mpg
 run int8 pallas3 --env IR_ADS_INT8=1
 run dual pallas3 --dual
+run rpe pallas3 --ablate dscf_rpe
 timeout 1200 python dev/check_dscf_numerics.py 2>&1 | tail -3
 echo SWEEP2 DONE

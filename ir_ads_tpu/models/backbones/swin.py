@@ -498,8 +498,15 @@ class MPGBlock(nn.Module):
         )
         beta_dte = self.param("tfts_beta_dte", _normal_around(0.0, 0.02), (dim,))
 
-        p_rgb = x * gamma_rgb + beta_rgb
-        p_dte = x * gamma_dte + beta_dte
+        # Keep the prompts in the compute dtype: the TFTS affine params are
+        # f32, and x(bf16) * gamma(f32) promotes to f32 — which then poisons
+        # the residual stream of EVERY downstream block (f32 residual adds,
+        # LN reads, attention-output upcasts).  Measured in context this
+        # promotion cost ~35 ms of the 91 ms bench forward (ablate sweep2:
+        # baseline 91.0 -> 55.9 with MPG stubbed, FLOPs are negligible).
+        cdt = x.dtype
+        p_rgb = x * gamma_rgb.astype(cdt) + beta_rgb.astype(cdt)
+        p_dte = x * gamma_dte.astype(cdt) + beta_dte.astype(cdt)
         return x + p_rgb, x + p_dte
 
 
@@ -755,9 +762,15 @@ class DAttentionMM(nn.Module):
                 axis=1,
             )
             table4 = rpe_table.reshape(g, hg, s1, s2)
-            bias_rows = dscf_rpe_bias_rows(
-                pos_cat, table4, h, w, store
-            )  # (B*g, hg, h, 2n, w)
+            if ablated("dscf_rpe"):  # perf attribution: builder cost
+                bias_rows = (
+                    jnp.sum(pos_cat).astype(store) * 0.0
+                    + jnp.zeros((b * g, hg, h, 2 * n, w), store)
+                )
+            else:
+                bias_rows = dscf_rpe_bias_rows(
+                    pos_cat, table4, h, w, store
+                )  # (B*g, hg, h, 2n, w)
 
             def to_groups(t, m):  # (B, M, C) -> (B*g, M, gc)
                 return (
@@ -869,7 +882,10 @@ class DAttentionMM(nn.Module):
         identity_w = self.param(
             "identity_weight", nn.initializers.ones, (c,)
         )
-        return deform_w * out + identity_w * xy
+        # cast the f32 combiner params to the compute dtype — like the MPG
+        # TFTS affine, an f32 multiply here would promote the output stream
+        cdt = out.dtype
+        return deform_w.astype(cdt) * out + identity_w.astype(cdt) * xy
 
 
 class DeformMPGBlock(nn.Module):
@@ -998,7 +1014,7 @@ class SwinTransformer(nn.Module):
 
         outs, outs_rgb, outs_dte = [], [], []
         for i in range(num_layers):
-            if not ablated("mpg"):
+            if not (ablated("mpg") or ablated(f"mpg{i}")):
                 prompt_rgb, prompt_dte = MPGBlock(
                     ratio=self.mapa_ratio, dtype=self.dtype, name=f"mpg_{i}"
                 )(x_rgb, x_dte)
