@@ -8,9 +8,12 @@ in-context ablation deltas (/tmp/ablate_sweep.jsonl, dev/run_sweep.sh) to
 produce the bound-vs-measured table VERDICT r1 item 1c asked for.
 
 Machine model (measured, not datasheet): this v5e chip sustains
-~91 TFLOP/s on a bare bf16 4096^2 matmul chain (dev notes) and ~2x that
-on s8xs8->s32; HBM ~810 GB/s.  Bounds below use those sustained numbers —
-"within 1.5x of bound" means vs achievable, not marketing peak.
+~208 TFLOP/s on a bare bf16 4096^2 matmul chain and ~417 TOP/s on
+s8xs8->s32 (dev/probe_int8_rate.py; an earlier 91 TF/s reading was a
+relay artifact); HBM ~810 GB/s.  Bounds below use those sustained
+numbers — "within 1.5x of bound" means vs achievable, not marketing
+peak.  Caveat: the model's K dims (512-2048) are far below 4096, so
+per-matmul achievable is somewhat lower than the 208 headline.
 """
 
 import json
@@ -25,8 +28,8 @@ HEADS = (4, 8, 16, 32)
 WS = 12
 MLP = 4
 NCLS = 40
-SUSTAINED_BF16 = 91e12
-SUSTAINED_INT8 = 182e12
+SUSTAINED_BF16 = 208e12
+SUSTAINED_INT8 = 417e12
 HBM = 810e9
 
 
@@ -72,51 +75,89 @@ def dscf_flops(h, w, c, g, n_pts=300):
     return dict(sample=sample, rpe=rpe, attn=attn, proj=proj)
 
 
+def swin_block_bytes(h, w, c):
+    """HBM traffic per block-pass, bf16: ~22 padded-map passes (partition /
+    qkv / attention / reverse / proj live on the padded grid) + ~18
+    unpadded passes (LNs, residuals, adapters, FFN in/out)."""
+    hp, wp = ceil_to(h, WS), ceil_to(w, WS)
+    return (22 * hp * wp * c + 18 * h * w * c) * 2
+
+
+def dscf_bytes(h, w, c, g, n_pts=300):
+    """DSCF traffic: the rows rpe bias is written once by the builder and
+    read once by the attention kernel; plus ~14 map passes for the
+    projections / fuse / combine."""
+    hg = 2
+    m = 2 * n_pts
+    bias = 2 * g * hg * h * m * w * 2
+    maps = 14 * h * w * c * 2
+    return bias + maps
+
+
 def main():
-    rows = []
+    rows = []  # (name, flops, bytes)
     total = 0
+    total_bytes = 0
     for i, (h, w, c, d, heads) in enumerate(stage_dims()):
         f = 2 * d * swin_block_flops(h, w, c, heads) * B  # x2 streams
-        rows.append((f"stage{i} ({d} blk x2 streams, c={c})", f))
+        by = 2 * d * swin_block_bytes(h, w, c) * B
+        rows.append((f"stage{i} ({d} blk x2 streams, c={c})", f, by))
         total += f
+        total_bytes += by
     groups = (1, 2, 4, 8)
     for i, (h, w, c, d, heads) in enumerate(stage_dims()):
         parts = dscf_flops(h, w, c, groups[i])
         f = sum(parts.values()) * B
+        by = dscf_bytes(h, w, c, groups[i]) * B
         rows.append(
             (
                 f"DSCF L{i} (sample {parts['sample']*B/1e9:.0f}G "
                 f"rpe {parts['rpe']*B/1e9:.0f}G attn {parts['attn']*B/1e9:.0f}G "
                 f"proj {parts['proj']*B/1e9:.0f}G)",
                 f,
+                by,
             )
         )
         total += f
+        total_bytes += by
     # patch embeds: 4x4x3 -> 128, two streams
     f = 2 * 2 * (H // 4) * (W // 4) * 128 * 4 * 4 * 3 * B
-    rows.append(("patch embed x2", f))
+    rows.append(("patch embed x2", f, f // 10))
     total += f
+    total_bytes += f // 10
     # head (folded form, segformer.py): per-level composed (C_i, 512)
     # matmuls at native resolution + 1/4-res class conv — the naive
     # concat+fuse (~40 GFLOP/img) is algebraically eliminated
     hd = 0
+    hb = 0
     for i, (h, w, c, d, _) in enumerate(stage_dims()):
         hd += 2 * h * w * c * 512
+        hb += 2 * h * w * (c + 512) * 2
     h0, w0 = H // 4, W // 4
     hd += 2 * h0 * w0 * 512 * NCLS
-    rows.append(("SegFormer fused head (folded)", hd * B))
+    hb += h0 * w0 * (512 + NCLS) * 2
+    rows.append(("SegFormer fused head (folded)", hd * B, hb * B))
     total += hd * B
+    total_bytes += hb * B
 
     print(f"workload: {B} images {H}x{W} (4 frames x flip)")
-    print(f"{'component':58s} {'GFLOP':>8s} {'bf16 bound ms':>13s}")
-    for name, f in rows:
-        print(f"{name:58s} {f/1e9:8.1f} {1e3*f/SUSTAINED_BF16:13.2f}")
-    print(f"{'TOTAL':58s} {total/1e9:8.1f} {1e3*total/SUSTAINED_BF16:13.2f}")
     print(
-        f"bf16 floor {1e3*total/SUSTAINED_BF16:.1f} ms -> "
-        f"{1e3*4/(1e3*total/SUSTAINED_BF16):.0f} fps ceiling; "
-        f"int8 trunk floor ~{1e3*total/SUSTAINED_INT8:.1f} ms -> "
-        f"{1e3*4/(1e3*total/SUSTAINED_INT8):.0f} fps ceiling"
+        f"{'component':58s} {'GFLOP':>8s} {'mxu ms':>7s} "
+        f"{'hbm ms':>7s} {'bound':>7s}"
+    )
+    floor = 0.0
+    for name, f, by in rows:
+        mx = 1e3 * f / SUSTAINED_BF16
+        hm = 1e3 * by / HBM
+        floor += max(mx, hm)
+        print(f"{name:58s} {f/1e9:8.1f} {mx:7.2f} {hm:7.2f} {max(mx, hm):7.2f}")
+    mx = 1e3 * total / SUSTAINED_BF16
+    hm = 1e3 * total_bytes / HBM
+    print(f"{'TOTAL (per-component bounds summed)':58s} {total/1e9:8.1f} "
+          f"{mx:7.2f} {hm:7.2f} {floor:7.2f}")
+    print(
+        f"bf16 floor {floor:.1f} ms -> {1e3*4/floor:.0f} fps ceiling; "
+        f"int8-MXU floor ~{max(1e3*total/SUSTAINED_INT8, hm):.1f} ms"
     )
 
     sweep = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ablate_sweep.jsonl"

@@ -254,6 +254,85 @@ class Adapter(nn.Module):
         return x + xs if self.skip_connect else xs
 
 
+class _DenseParams(nn.Module):
+    """Parameter container matching nn.Dense's tree ({kernel, bias})."""
+
+    in_features: int
+    features: int
+    kernel_init: Any
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", self.kernel_init, (self.in_features, self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _LNParams(nn.Module):
+    """Parameter container matching nn.LayerNorm's tree ({scale, bias})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return s, b
+
+
+class _MlpParams(nn.Module):
+    """Parameter container matching Mlp's tree (Dense_0 / Dense_1)."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(
+            self.dim, self.hidden, trunc_normal_init(), name="Dense_0"
+        )()
+        w2, b2 = _DenseParams(
+            self.hidden, self.dim, trunc_normal_init(), name="Dense_1"
+        )()
+        return w1, b1, w2, b2
+
+
+class _AdapterParams(nn.Module):
+    """Parameter container matching Adapter's tree (D_fc1 / D_fc2)."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(
+            self.dim, self.hidden, kaiming_uniform_init(), name="D_fc1"
+        )()
+        w2, b2 = _DenseParams(
+            self.hidden, self.dim, nn.initializers.zeros, name="D_fc2"
+        )()
+        return w1, b1, w2, b2
+
+
+def _ffn_impl() -> str:
+    """Block-tail implementation: fused Pallas kernel on TPU eval, XLA
+    otherwise.  Override with IR_ADS_FFN=fused|xla."""
+    import os
+
+    from ir_ads_tpu.ops.int8 import int8_enabled
+
+    ov = os.environ.get("IR_ADS_FFN", "")
+    if ov:
+        return ov
+    return (
+        "fused"
+        if jax.default_backend() == "tpu" and not int8_enabled()
+        else "xla"
+    )
+
+
 class SwinBlockAdapter(nn.Module):
     """Swin block with per-modality MAPA adapters (reference swin.py:505-610).
 
@@ -294,6 +373,40 @@ class SwinBlockAdapter(nn.Module):
             name="attn",
         )(h, deterministic, drop_path_override)
         x = h + identity
+
+        # Block tail: out = x + FFN(LN(x)) + 0.5*Adapter(x).  On TPU eval
+        # the fused kernel (ops/pallas_mlp.py) runs it in one HBM
+        # read + one write (the FFN hidden / LN / adapter branch never
+        # leave VMEM) — the XLA path moves ~19 map passes.  The parameter
+        # containers produce a tree byte-identical to the module path, so
+        # checkpoints and the torch importer are unaffected.
+        if deterministic and _ffn_impl() == "fused":
+            from ir_ads_tpu.ops.pallas_mlp import fused_block_tail
+
+            b_, hh, ww, cc = x.shape
+            ahid = int(cc * self.adapter_ratio)
+            s_ln, b_ln = _LNParams(cc, name="norm2")()
+            w1, b1, w2, b2 = _MlpParams(cc, self.ffn_dim, name="ffn")()
+            x2 = x.reshape(-1, cc)
+            if sub_mode == "dual":
+                half_n = (b_ // 2) * hh * ww
+                pr = _AdapterParams(cc, ahid, name="adapter_rgb")()
+                pd = _AdapterParams(cc, ahid, name="adapter_dte")()
+                out = jnp.concatenate(
+                    [
+                        fused_block_tail(
+                            x2[:half_n], s_ln, b_ln, w1, b1, w2, b2, *pr
+                        ),
+                        fused_block_tail(
+                            x2[half_n:], s_ln, b_ln, w1, b1, w2, b2, *pd
+                        ),
+                    ],
+                    axis=0,
+                )
+            else:
+                pa = _AdapterParams(cc, ahid, name=f"adapter_{sub_mode}")()
+                out = fused_block_tail(x2, s_ln, b_ln, w1, b1, w2, b2, *pa)
+            return out.reshape(b_, hh, ww, cc)
 
         if sub_mode == "dual":
             # both streams batched through the shared attention/FFN; only

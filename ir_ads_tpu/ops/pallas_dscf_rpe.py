@@ -32,6 +32,36 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _auto_j_chunk(m, h, w, s1, s2, hg, out_size):
+    """Largest j-chunk (divisor of m, multiple of 8) within a VMEM budget.
+
+    The grid has bg * (m // jc) steps; at jc=8 the bench forward ran ~9000
+    steps across the four pyramid levels and the builder was pure
+    per-step overhead (~10 ms for ~1 ms of math + ~1.7 ms of HBM traffic).
+    Estimated VMEM per j: the out tile (double-buffered by Mosaic), the
+    f32 hat-weight / iota intermediates, u, and the f32 bias accumulator.
+    """
+    def lanes(v):  # trailing dim pads to the 128-lane vreg width
+        return -(-v // 128) * 128
+
+    def subl(v):  # second-to-last dim pads to 8 sublanes
+        return -(-v // 8) * 8
+
+    per_j = (
+        2 * hg * subl(h) * lanes(w) * out_size  # out block, double-buffered
+        + subl(h) * lanes(s1) * 4               # wy
+        + subl(s2) * lanes(w) * 4               # wxT
+        + subl(w) * lanes(s1) * out_size        # u
+        + subl(h) * lanes(w) * 4                # bias (f32 accum)
+    )
+    budget = 24 * 1024 * 1024
+    best = 8 if m % 8 == 0 else m
+    for jc in range(8, min(m, 128) + 1, 8):
+        if m % jc == 0 and jc * per_j <= budget:
+            best = jc
+    return best
+
+
 def _rpe_kernel(pos_ref, table_ref, out_ref, *, h, w, s1, s2, jc, hg, out_dtype):
     """Grid: (BG, M // jc).  Blocks:
     pos_ref:   (1, jc, 2) f32      — (py, px) per sample point
@@ -165,12 +195,16 @@ def _rpe_rows_kernel(
     pos = pos_ref[0]  # (jc, 2)
     by = (0.5 - 0.5 * pos[:, 0:1]) * 0.5 * (s1 - 1.0)  # (jc, 1)
     bx = (0.5 - 0.5 * pos[:, 1:2]) * 0.5 * (s2 - 1.0)
-    r3 = jax.lax.broadcasted_iota(jnp.int32, (jc, h, s1), 1).astype(jnp.float32)
-    s3 = jax.lax.broadcasted_iota(jnp.int32, (jc, h, s1), 2).astype(jnp.float32)
-    t3 = jax.lax.broadcasted_iota(jnp.int32, (jc, s2, w), 1).astype(jnp.float32)
-    c3 = jax.lax.broadcasted_iota(jnp.int32, (jc, s2, w), 2).astype(jnp.float32)
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(ay * r3 + by[:, :, None] - s3))
-    wxT = jnp.maximum(0.0, 1.0 - jnp.abs(ax * c3 + bx[:, :, None] - t3))
+    # 2-D base grids (ay*r - s) / (ax*c - t); the per-j offset is a pure
+    # broadcast — materializing 3-D iotas per chunk tripled VMEM use
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (h, s1), 0).astype(jnp.float32)
+    s_2 = jax.lax.broadcasted_iota(jnp.int32, (h, s1), 1).astype(jnp.float32)
+    t2 = jax.lax.broadcasted_iota(jnp.int32, (s2, w), 0).astype(jnp.float32)
+    c2 = jax.lax.broadcasted_iota(jnp.int32, (s2, w), 1).astype(jnp.float32)
+    base_y = ay * r2 - s_2  # (h, s1)
+    base_x = ax * c2 - t2   # (s2, w)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(base_y[None] + by[:, :, None]))
+    wxT = jnp.maximum(0.0, 1.0 - jnp.abs(base_x[None] + bx[:, :, None]))
     # MXU operand dtype: when the consumer stores bf16 anyway, run the dots
     # with bf16 operands (f32 accumulation) — the f32-operand path runs the
     # MXU at a fraction of the bf16 rate and rpe is ~315 GFLOP of the bench
@@ -208,7 +242,9 @@ def dscf_rpe_bias_rows_pallas(
     bg, m, _ = pos.shape
     g, hg, s1, s2 = table.shape
     if j_chunk is None:
-        j_chunk = 8 if m % 8 == 0 else m
+        j_chunk = _auto_j_chunk(
+            m, h, w, s1, s2, hg, jnp.dtype(out_dtype).itemsize
+        )
     assert m % j_chunk == 0, (m, j_chunk)
 
     kernel = functools.partial(
