@@ -447,17 +447,29 @@ def pallas_window_attention_map(
     n = ws * ws
     nwin_h, nwin_w = hp // ws, wp // ws
     if rows_per_step is None:
-        # Budget: f32 score matrix per head (G, N, N) <= ~12 MB plus the
-        # double-buffered qkv band; whole image when it fits.
-        for cand in range(nwin_h, 0, -1):
-            if nwin_h % cand:
-                continue
-            g = cand * nwin_w
-            if g * n * n * 4 <= 12 * 1024 * 1024:
-                rows_per_step = cand
-                break
+        import os
+
+        ov = os.environ.get("IR_ADS_SWIN_V3_ROWS", "")
+        if ov:
+            # forced band size (compile-time experiments): largest divisor
+            # of nwin_h not exceeding the requested value
+            want = int(ov)
+            rows_per_step = max(
+                c for c in range(1, nwin_h + 1)
+                if nwin_h % c == 0 and c <= want
+            )
         else:
-            rows_per_step = 1
+            # Budget: f32 score matrix per head (G, N, N) <= ~12 MB plus
+            # the double-buffered qkv band; whole image when it fits.
+            for cand in range(nwin_h, 0, -1):
+                if nwin_h % cand:
+                    continue
+                g = cand * nwin_w
+                if g * n * n * 4 <= 12 * 1024 * 1024:
+                    rows_per_step = cand
+                    break
+            else:
+                rows_per_step = 1
     assert hp % (rows_per_step * ws) == 0, (hp, rows_per_step, ws)
     g = rows_per_step * nwin_w
 
