@@ -316,6 +316,45 @@ class _AdapterParams(nn.Module):
         return w1, b1, w2, b2
 
 
+class _WindowMSAParams(nn.Module):
+    """Parameter container matching WindowMSA's tree
+    (rel_pos_bias_table / qkv / proj)."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+
+    @nn.compact
+    def __call__(self):
+        ws = self.window_size
+        table = self.param(
+            "rel_pos_bias_table",
+            trunc_normal_init(0.02),
+            ((2 * ws - 1) * (2 * ws - 1), self.num_heads),
+        )
+        wq, bq = _DenseParams(
+            self.dim, 3 * self.dim, trunc_normal_init(), name="qkv"
+        )()
+        wpj, bpj = _DenseParams(
+            self.dim, self.dim, trunc_normal_init(), name="proj"
+        )()
+        return table, wq, bq, wpj, bpj
+
+
+class _ShiftWindowMSAParams(nn.Module):
+    """Parameter container matching ShiftWindowMSA's tree (w_msa/...)."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+
+    @nn.compact
+    def __call__(self):
+        return _WindowMSAParams(
+            self.dim, self.num_heads, self.window_size, name="w_msa"
+        )()
+
+
 def _ffn_impl() -> str:
     """Block-tail implementation: fused Pallas kernel on TPU eval, XLA
     otherwise.  Override with IR_ADS_FFN=fused|xla."""
@@ -359,20 +398,70 @@ class SwinBlockAdapter(nn.Module):
         deterministic: bool = True,
         drop_path_override: Optional[jax.Array] = None,
     ) -> jax.Array:
-        identity = x
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        h = ShiftWindowMSA(
-            dim=self.dim,
-            num_heads=self.num_heads,
-            window_size=self.window_size,
-            shift_size=self.window_size // 2 if self.shift else 0,
-            drop_path_rate=self.drop_path_rate,
-            proj_drop=self.drop_rate,
-            attn_impl=self.attn_impl,
-            dtype=self.dtype,
-            name="attn",
-        )(h, deterministic, drop_path_override)
-        x = h + identity
+        attn_impl = self.attn_impl
+        if attn_impl == "auto":
+            import os
+
+            attn_impl = os.environ.get("IR_ADS_SWIN_ATTN", "") or (
+                "pallas" if jax.default_backend() == "tpu" else "xla"
+            )
+        if attn_impl == "pallas4" and not deterministic:
+            # v4 is eval-only (dropout/drop-path need the module path)
+            attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+        if attn_impl == "pallas4":
+            # v4 fused attention half-block (ops/pallas_swin.py): one HBM
+            # read of x, one write of y = x + proj(attn(qkv(LN1(x)))) —
+            # LN1, qkv, the window partition/reverse, attention and the
+            # out projection never touch HBM.  Parameter containers keep
+            # the tree identical to the module path.  Pad/roll stay in
+            # XLA; the kernel zeroes padded positions after LN1 so padded
+            # keys match the module path (LN-before-pad) exactly.
+            from ir_ads_tpu.ops.pallas_swin import fused_window_block
+
+            b_, h_, w_, cc = x.shape
+            ws = self.window_size
+            shift = ws // 2 if self.shift else 0
+            s1, b1 = _LNParams(cc, name="norm1")()
+            table, wq, bq, wpj, bpj = _ShiftWindowMSAParams(
+                cc, self.num_heads, ws, name="attn"
+            )()
+            scale = (cc // self.num_heads) ** -0.5
+            bias = gather_rel_pos_bias(table, ws, ws)
+            pad_b = (ws - h_ % ws) % ws
+            pad_r = (ws - w_ % ws) % ws
+            xm = x
+            if pad_b or pad_r:
+                xm = jnp.pad(xm, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+            hp, wp = h_ + pad_b, w_ + pad_r
+            region = None
+            if shift > 0:
+                xm = jnp.roll(xm, shift=(-shift, -shift), axis=(1, 2))
+                region = jnp.asarray(shift_region_ids(hp, wp, ws, shift))
+            y = fused_window_block(
+                xm, s1, b1, wq, bq, wpj, bpj, bias, region,
+                scale, self.num_heads, ws, h_, w_, shift,
+            )
+            if shift > 0:
+                y = jnp.roll(y, shift=(shift, shift), axis=(1, 2))
+            if pad_b or pad_r:
+                y = y[:, :h_, :w_, :]
+            x = y
+        else:
+            identity = x
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+            h = ShiftWindowMSA(
+                dim=self.dim,
+                num_heads=self.num_heads,
+                window_size=self.window_size,
+                shift_size=self.window_size // 2 if self.shift else 0,
+                drop_path_rate=self.drop_path_rate,
+                proj_drop=self.drop_rate,
+                attn_impl=attn_impl,
+                dtype=self.dtype,
+                name="attn",
+            )(h, deterministic, drop_path_override)
+            x = h + identity
 
         # Block tail: out = x + FFN(LN(x)) + 0.5*Adapter(x).  On TPU eval
         # the fused kernel (ops/pallas_mlp.py) runs it in one HBM

@@ -554,3 +554,288 @@ def _fused_map_bwd(scale, heads, ws, res, g):
 
 
 fused_window_attention_map.defvjp(_fused_map_fwd, _fused_map_bwd)
+
+
+# --------------------------------------------------------------------------
+# v4 kernel: the whole attention half-block in one HBM pass.
+#
+#   y = x + proj(window_attention(qkv(LN1(x))))
+#
+# v3 still pays the LN1 read/write, the qkv projection's read C / write 3C,
+# the proj read/write and the residual's two reads + write in XLA — ~13
+# C-map HBM passes per block around a kernel that itself only needs 2.
+# v4 reads the (rolled, padded) x band once, runs LN1 (f32 stats), the qkv
+# matmul, the VMEM window partition, per-head attention, reverse, the out
+# projection and the residual add entirely in VMEM, and writes y once.
+# Weights use constant index maps so Mosaic keeps them resident across
+# bands.  Cyclic shift (roll) and edge padding stay in XLA: a roll is not
+# expressible as a Pallas block index map, and it is 2 passes, not 13.
+#
+# Numerics: LN statistics and both matmul accumulations in f32; rounding
+# points match the unfused path (LN output cast to the compute dtype, qkv
+# rounded where nn.Dense produces it, attention probabilities cast to the
+# value dtype, proj accumulated in f32).  Eval-path only; backward is XLA
+# recompute of the reference twin.
+# --------------------------------------------------------------------------
+
+
+def _attn_kernel_v4(
+    x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
+    region_ref, o_ref, outw_ref, *, eps, scale, heads, ws, nwin_w,
+    hp, h_real, w_real, shift,
+):
+    """One band of window rows, all heads.
+
+    x: (1, rows*ws, Wp, C); g/b: (1, C) LN1; wqkv: (C, 3C); bqkv: (1, 3C);
+    wp: (C, C); bp: (1, C); bias: (heads, N, N) f32;
+    region: (1, G, N) int32; out: (1, rows*ws, Wp, C);
+    outw_ref: (G, N, C) VMEM scratch.
+
+    hp/h_real/w_real/shift: static pad/roll geometry.  The module path runs
+    LN1 BEFORE padding, so padded positions enter attention as exact zeros
+    (their qkv is then just the qkv bias).  Here x arrives padded+rolled,
+    so LN1(0) would leak beta*Wqkv into padded keys — instead the LN output
+    is zeroed at positions that are padding in the original map, located
+    via static index arithmetic (a rolled col c is padding iff
+    (c + shift) mod Wp >= w_real, same for rows with the band offset).
+    """
+    x = x_ref[0]  # (rh, wp, C)
+    rh, wpx, c = x.shape
+    rows = rh // ws
+    n = ws * ws
+    d = c // heads
+    cdt = wqkv_ref.dtype
+
+    # LN1 on the flattened band (f32 statistics)
+    xf = x.reshape(rh * wpx, c).astype(jnp.float32)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    xn = xc * jax.lax.rsqrt(var + eps)
+    xn = xn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    if h_real != hp or w_real != wpx:
+        j = pl.program_id(1)
+        row = j * rh + jax.lax.broadcasted_iota(jnp.int32, (rh, wpx), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (rh, wpx), 1)
+        pad = jnp.logical_or(
+            (row + shift) % hp >= h_real, (col + shift) % wpx >= w_real
+        )
+        xn = jnp.where(pad.reshape(rh * wpx, 1), 0.0, xn)
+    xn = xn.astype(cdt)
+
+    # qkv projection (MXU, f32 accumulation), rounded like nn.Dense output
+    qkv = jax.lax.dot_general(
+        xn, wqkv_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[...].astype(jnp.float32)
+    qkv = qkv.astype(cdt)
+
+    # VMEM window partition (same relayout as v3)
+    qkvw = (
+        qkv.reshape(rows, ws, nwin_w, ws, 3 * c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(rows * nwin_w, n, 3 * c)
+    )
+    region = region_ref[0]
+    neq = region[:, :, None] != region[:, None, :]  # (G, N, N)
+    for h in range(heads):
+        q = qkvw[:, :, h * d : (h + 1) * d]
+        k = qkvw[:, :, c + h * d : c + (h + 1) * d]
+        v = qkvw[:, :, 2 * c + h * d : 2 * c + (h + 1) * d]
+        s = jax.lax.dot_general(
+            (q * scale).astype(q.dtype), k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        s = s + bias_ref[h][None]
+        s = jnp.where(neq, s - 1e9, s)
+        p = jax.nn.softmax(s, axis=-1)
+        outw_ref[:, :, h * d : (h + 1) * d] = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(cdt)
+    # VMEM window reverse -> (rh*wp, C)
+    att = (
+        outw_ref[...]
+        .reshape(rows, nwin_w, ws, ws, c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(rh * wpx, c)
+    )
+    # out projection + residual
+    out = jax.lax.dot_general(
+        att, wp_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bp_ref[...].astype(jnp.float32)
+    o_ref[0] = (xf + out).astype(o_ref.dtype).reshape(rh, wpx, c)
+
+
+def pallas_window_block(
+    x: jax.Array,          # (B, Hp, Wp, C) rolled/padded map
+    ln_scale: jax.Array,   # (C,)
+    ln_bias: jax.Array,    # (C,)
+    wqkv: jax.Array,       # (C, 3C)
+    bqkv: jax.Array,       # (3C,)
+    wproj: jax.Array,      # (C, C)
+    bproj: jax.Array,      # (C,)
+    bias: jax.Array,       # (heads, N, N)
+    region: Optional[jax.Array],  # (nW, N) int32 or None
+    scale: float,
+    heads: int,
+    ws: int,
+    h_real: Optional[int] = None,
+    w_real: Optional[int] = None,
+    shift: int = 0,
+    eps: float = 1e-5,
+    rows_per_step: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """v4: fused LN1 + qkv + W/SW-MSA + proj + residual on the map layout."""
+    import os
+
+    interpret = interpret or os.environ.get("IR_ADS_PALLAS_INTERPRET") == "1"
+    b, hp, wpx, c = x.shape
+    h_real = hp if h_real is None else h_real
+    w_real = wpx if w_real is None else w_real
+    n = ws * ws
+    nwin_h, nwin_w = hp // ws, wpx // ws
+    if rows_per_step is None:
+        import os
+
+        want = int(os.environ.get("IR_ADS_SWIN_V4_ROWS", "2"))
+        rows_per_step = max(
+            cd for cd in range(1, nwin_h + 1)
+            if nwin_h % cd == 0 and cd <= want
+        )
+    g = rows_per_step * nwin_w
+
+    if region is None:
+        region_full = jnp.zeros((nwin_h * nwin_w, n), jnp.int32)
+    else:
+        region_full = region
+    n_bands = nwin_h // rows_per_step
+    region_banded = region_full.reshape(n_bands, g, n)
+
+    cdt = x.dtype
+    vec = lambda v: v.reshape(1, -1).astype(cdt)  # noqa: E731
+
+    def wspec(*shape):
+        return pl.BlockSpec(
+            shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_kernel_v4, eps=eps, scale=scale, heads=heads, ws=ws,
+            nwin_w=nwin_w, hp=hp, h_real=h_real, w_real=w_real, shift=shift,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wpx, c), x.dtype),
+        grid=(b, n_bands),
+        in_specs=[
+            pl.BlockSpec(
+                (1, rows_per_step * ws, wpx, c),
+                lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            wspec(1, c), wspec(1, c),
+            wspec(c, 3 * c), wspec(1, 3 * c),
+            wspec(c, c), wspec(1, c),
+            wspec(heads, n, n),
+            pl.BlockSpec(
+                (1, g, n), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows_per_step * ws, wpx, c),
+            lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((g, n, c), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        x, vec(ln_scale), vec(ln_bias),
+        wqkv.astype(cdt), vec(bqkv), wproj.astype(cdt), vec(bproj),
+        bias.astype(jnp.float32), region_banded,
+    )
+    return out
+
+
+def _block_reference(
+    x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, region, scale,
+    heads, ws, h_real=None, w_real=None, shift=0, eps=1e-5,
+):
+    """XLA twin of the v4 kernel (same rounding points; also the backward)."""
+    cdt = x.dtype
+    b, hp, wpx, c = x.shape
+    h_real = hp if h_real is None else h_real
+    w_real = wpx if w_real is None else w_real
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xn = xc * jax.lax.rsqrt(var + eps)
+    xn = xn * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    if h_real != hp or w_real != wpx:
+        row = jnp.arange(hp)[:, None]
+        col = jnp.arange(wpx)[None, :]
+        pad = ((row + shift) % hp >= h_real) | ((col + shift) % wpx >= w_real)
+        xn = jnp.where(pad[None, :, :, None], 0.0, xn)
+    xn = xn.astype(cdt)
+    qkv = (
+        jnp.dot(xn, wqkv.astype(cdt), preferred_element_type=jnp.float32)
+        + bqkv.astype(jnp.float32)
+    ).astype(cdt)
+    att = _map_reference(qkv, bias, region, scale, heads, ws)
+    out = (
+        jnp.dot(att, wproj.astype(cdt), preferred_element_type=jnp.float32)
+        + bproj.astype(jnp.float32)
+    )
+    return (xf + out).astype(cdt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
+def fused_window_block(
+    x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, region, scale,
+    heads, ws, h_real=None, w_real=None, shift=0,
+):
+    """v4 Pallas forward + XLA-recompute backward.
+
+    x: (B, Hp, Wp, C) rolled/padded map; returns y = x + proj(attn(...)),
+    same shape."""
+    return pallas_window_block(
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, region,
+        scale, heads, ws, h_real=h_real, w_real=w_real, shift=shift,
+    )
+
+
+def _fused_block_fwd(
+    x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, region, scale,
+    heads, ws, h_real, w_real, shift,
+):
+    out = pallas_window_block(
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, region,
+        scale, heads, ws, h_real=h_real, w_real=w_real, shift=shift,
+    )
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, region)
+
+
+def _fused_block_bwd(scale, heads, ws, h_real, w_real, shift, res, g):
+    x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, region = res
+    _, vjp = jax.vjp(
+        lambda *a: _block_reference(
+            *a, region, scale, heads, ws,
+            h_real=h_real, w_real=w_real, shift=shift,
+        ),
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+    )
+    grads = vjp(g)
+    dregion = None if region is None else jnp.zeros_like(region)
+    return (*grads, dregion)
+
+
+fused_window_block.defvjp(_fused_block_fwd, _fused_block_bwd)

@@ -1,0 +1,201 @@
+"""v4 fused attention half-block (ops/pallas_swin.py pallas_window_block):
+kernel == XLA twin == the unfused module path, including pad+shift cases."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ir_ads_tpu.ops.pallas_swin import (
+    _block_reference,
+    fused_window_block,
+    pallas_window_block,
+)
+from ir_ads_tpu.ops.pallas_swin import shift_region_ids
+
+
+def _params(key, c, heads, ws):
+    ks = jax.random.split(key, 8)
+    r = lambda k, *s: jax.random.normal(k, s, jnp.float32) * 0.05  # noqa
+    n = ws * ws
+    return dict(
+        ln_scale=1.0 + r(ks[0], c),
+        ln_bias=r(ks[1], c),
+        wqkv=r(ks[2], c, 3 * c),
+        bqkv=r(ks[3], 3 * c),
+        wproj=r(ks[4], c, c),
+        bproj=r(ks[5], c),
+        bias=r(ks[6], heads, n, n),
+    )
+
+
+ORDER = ("ln_scale", "ln_bias", "wqkv", "bqkv", "wproj", "bproj", "bias")
+
+
+@pytest.mark.parametrize("shift", [0, 2])
+def test_kernel_matches_reference(shift):
+    ws, c, heads = 4, 32, 2
+    b, hp, wp = 2, 8, 12
+    key = jax.random.PRNGKey(0)
+    p = _params(key, c, heads, ws)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, hp, wp, c), jnp.float32)
+    region = (
+        jnp.asarray(shift_region_ids(hp, wp, ws, shift)) if shift else None
+    )
+    args = [p[k] for k in ORDER]
+    got = pallas_window_block(
+        x, *args, region, (c // heads) ** -0.5, heads, ws,
+        shift=shift, interpret=True,
+    )
+    want = _block_reference(
+        x, *args, region, (c // heads) ** -0.5, heads, ws, shift=shift
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_kernel_pad_zeroing_matches_reference():
+    """h_real/w_real < padded dims: the in-kernel LN-output zeroing must
+    match the twin's mask (which matches the module path's LN-before-pad)."""
+    ws, c, heads = 4, 32, 2
+    b, h_real, w_real = 2, 7, 10
+    hp = ((h_real + ws - 1) // ws) * ws  # 8
+    wp = ((w_real + ws - 1) // ws) * ws  # 12
+    shift = 2
+    key = jax.random.PRNGKey(2)
+    p = _params(key, c, heads, ws)
+    x = jax.random.normal(
+        jax.random.PRNGKey(3), (b, h_real, w_real, c), jnp.float32
+    )
+    xm = jnp.pad(x, ((0, 0), (0, hp - h_real), (0, wp - w_real), (0, 0)))
+    xm = jnp.roll(xm, shift=(-shift, -shift), axis=(1, 2))
+    region = jnp.asarray(shift_region_ids(hp, wp, ws, shift))
+    args = [p[k] for k in ORDER]
+    got = pallas_window_block(
+        xm, *args, region, (c // heads) ** -0.5, heads, ws,
+        h_real=h_real, w_real=w_real, shift=shift, interpret=True,
+    )
+    want = _block_reference(
+        xm, *args, region, (c // heads) ** -0.5, heads, ws,
+        h_real=h_real, w_real=w_real, shift=shift,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize(
+    "h,w,shifted", [(8, 8, False), (8, 8, True), (7, 10, True)]
+)
+def test_fused_path_matches_module_path(h, w, shifted):
+    """SwinBlockAdapter with IR_ADS_SWIN_ATTN=pallas4 (interpret) == the
+    unfused xla path, same params — incl. pad (7x10 -> 8x12) + shift."""
+    from ir_ads_tpu.models.backbones.swin import SwinBlockAdapter
+
+    blk = SwinBlockAdapter(
+        dim=32, num_heads=2, ffn_dim=128, window_size=4, shift=shifted,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, h, w, 32), jnp.float32)
+    old_attn = os.environ.get("IR_ADS_SWIN_ATTN")
+    old_ffn = os.environ.get("IR_ADS_FFN")
+    try:
+        os.environ["IR_ADS_SWIN_ATTN"] = "xla"
+        os.environ["IR_ADS_FFN"] = "xla"
+        v = blk.init({"params": jax.random.PRNGKey(5)}, x, "rgb", True)
+        out_xla = blk.apply(v, x, "rgb", True)
+        os.environ["IR_ADS_SWIN_ATTN"] = "pallas4"
+        os.environ["IR_ADS_PALLAS_INTERPRET"] = "1"
+        out_fused = blk.apply(v, x, "rgb", True)
+    finally:
+        for k, old in (
+            ("IR_ADS_SWIN_ATTN", old_attn),
+            ("IR_ADS_FFN", old_ffn),
+        ):
+            if old is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = old
+        os.environ.pop("IR_ADS_PALLAS_INTERPRET", None)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_xla), atol=5e-5, rtol=1e-5
+    )
+
+
+def test_param_tree_identical_between_paths():
+    from ir_ads_tpu.models.backbones.swin import SwinBlockAdapter
+
+    blk = SwinBlockAdapter(
+        dim=32, num_heads=2, ffn_dim=128, window_size=4, shift=True,
+    )
+    x = jnp.zeros((2, 8, 8, 32), jnp.float32)
+    old = os.environ.get("IR_ADS_SWIN_ATTN")
+    try:
+        os.environ["IR_ADS_SWIN_ATTN"] = "xla"
+        v_xla = blk.init({"params": jax.random.PRNGKey(0)}, x, "dte", True)
+        os.environ["IR_ADS_SWIN_ATTN"] = "pallas4"
+        os.environ["IR_ADS_PALLAS_INTERPRET"] = "1"
+        v_fused = blk.init({"params": jax.random.PRNGKey(0)}, x, "dte", True)
+    finally:
+        if old is None:
+            os.environ.pop("IR_ADS_SWIN_ATTN", None)
+        else:
+            os.environ["IR_ADS_SWIN_ATTN"] = old
+        os.environ.pop("IR_ADS_PALLAS_INTERPRET", None)
+    assert jax.tree_util.tree_structure(v_xla) == jax.tree_util.tree_structure(
+        v_fused
+    )
+    key = lambda pa: jax.tree_util.keystr(pa[0])  # noqa: E731
+    for (p1, a1), (p2, a2) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(v_xla["params"]), key=key),
+        sorted(
+            jax.tree_util.tree_leaves_with_path(v_fused["params"]), key=key
+        ),
+    ):
+        assert p1 == p2
+        assert a1.shape == a2.shape
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-6)
+
+
+def test_gradients_flow_through_custom_vjp():
+    os.environ["IR_ADS_PALLAS_INTERPRET"] = "1"
+    try:
+        ws, c, heads = 4, 32, 2
+        p = _params(jax.random.PRNGKey(6), c, heads, ws)
+        x = jax.random.normal(
+            jax.random.PRNGKey(7), (2, 8, 8, c), jnp.float32
+        )
+        region = jnp.asarray(shift_region_ids(8, 8, ws, 2))
+        scale = (c // heads) ** -0.5
+
+        def loss_fused(x, p):
+            args = [p[k] for k in ORDER]
+            return jnp.sum(
+                fused_window_block(
+                    x, *args, region, scale, heads, ws, 8, 8, 2
+                )
+                ** 2
+            )
+
+        def loss_ref(x, p):
+            args = [p[k] for k in ORDER]
+            return jnp.sum(
+                _block_reference(
+                    x, *args, region, scale, heads, ws, shift=2
+                )
+                ** 2
+            )
+
+        gx1, gp1 = jax.grad(loss_fused, argnums=(0, 1))(x, p)
+        gx2, gp2 = jax.grad(loss_ref, argnums=(0, 1))(x, p)
+        np.testing.assert_allclose(
+            np.asarray(gx1), np.asarray(gx2), atol=1e-4
+        )
+        for k in gp1:
+            np.testing.assert_allclose(
+                np.asarray(gp1[k]), np.asarray(gp2[k]), atol=1e-4, err_msg=k
+            )
+    finally:
+        os.environ.pop("IR_ADS_PALLAS_INTERPRET", None)
