@@ -51,7 +51,19 @@ ITERS = 10
 # consumed with zero HBM relayout, transposed-score attention kernel) wins
 # at every level and is the production config (see DAttentionMM notes).
 CONFIGS = [
-    # production: v2 window kernels + pallas3 rows-layout DSCF
+    # v4 whole half-block kernels + fused block tails + pallas3 DSCF:
+    # the attention half and the FFN half of every Swin block each run as
+    # one HBM read + one write (stage-2's 18 C=512 blocks alone measured
+    # ~36 ms of the 91 ms round-1 forward in unfused form)
+    (
+        "r3",
+        {
+            "IR_ADS_SWIN_ATTN": "pallas4",
+            "IR_ADS_DSCF_ATTN": "pallas3",
+            "IR_ADS_FFN": "fused",
+        },
+    ),
+    # production r2: v2 window kernels + pallas3 rows-layout DSCF
     ("r2", {"IR_ADS_SWIN_ATTN": "pallas", "IR_ADS_DSCF_ATTN": "pallas3"}),
     # round-1 production: v2 window kernels, XLA DSCF
     ("r1", {"IR_ADS_SWIN_ATTN": "pallas", "IR_ADS_DSCF_ATTN": "xla"}),

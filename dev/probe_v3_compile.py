@@ -24,9 +24,10 @@ import jax.numpy as jnp
 from ir_ads_tpu.ops.pallas_swin import (
     fused_window_attention_qkv,
     pallas_window_attention_map,
+    pallas_window_block,
+    shift_region_ids,
 )
 from ir_ads_tpu.ops.window_attention import (
-    shift_region_ids,
     window_partition,
     window_reverse,
 )
@@ -114,6 +115,44 @@ def main():
             except Exception as e:
                 print(
                     f"stage{si} v3 rows={rps}: FAIL {type(e).__name__}: "
+                    f"{str(e).splitlines()[0][:120]}",
+                    flush=True,
+                )
+
+        # v4 whole half-block (LN1+qkv+attn+proj+residual); x map input.
+        x = jax.random.normal(key, (b, hp, wp, c), jnp.bfloat16)
+        lnp = (
+            jnp.ones((c,), jnp.float32),
+            jnp.zeros((c,), jnp.float32),
+        )
+        wq = jax.random.normal(key, (c, 3 * c), jnp.bfloat16) * 0.05
+        bq = jnp.zeros((3 * c,), jnp.float32)
+        wpj = jax.random.normal(key, (c, c), jnp.bfloat16) * 0.05
+        bpj = jnp.zeros((c,), jnp.float32)
+        for rows in rows_list:
+            nwin_h = hp // WS
+            rps = max(
+                cd for cd in range(1, nwin_h + 1)
+                if nwin_h % cd == 0 and cd <= rows
+            )
+
+            def v4(x):
+                return pallas_window_block(
+                    x, *lnp, wq, bq, wpj, bpj, bias, region, scale, heads,
+                    WS, shift=WS // 2, rows_per_step=rps,
+                )
+
+            t0 = time.time()
+            try:
+                dt_v4 = timed_slope(v4, x)
+                print(
+                    f"stage{si} v4 rows={rps}: {dt_v4*1e3:8.3f} ms/call "
+                    f"(compile+run {time.time()-t0:.0f}s)",
+                    flush=True,
+                )
+            except Exception as e:
+                print(
+                    f"stage{si} v4 rows={rps}: FAIL {type(e).__name__}: "
                     f"{str(e).splitlines()[0][:120]}",
                     flush=True,
                 )

@@ -31,6 +31,12 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
+
+def _env_interpret() -> bool:
+    import os
+
+    return os.environ.get("IR_ADS_PALLAS_INTERPRET") == "1"
+
 def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
@@ -123,7 +129,7 @@ def pallas_dscf_attention(
         ],
         out_specs=pl.BlockSpec((1, qt, gc), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        interpret=interpret,
+        interpret=interpret or _env_interpret(),
     )(q, k, v, bias)
     return out[:, :hw]
 
@@ -233,7 +239,7 @@ def pallas_dscf_attention_rows(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        interpret=interpret,
+        interpret=interpret or _env_interpret(),
     )(q, k, v, bias)
     return out
 

@@ -32,6 +32,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+
+def _env_interpret() -> bool:
+    import os
+
+    return os.environ.get("IR_ADS_PALLAS_INTERPRET") == "1"
+
 def _auto_j_chunk(m, h, w, s1, s2, hg, out_size):
     """Largest j-chunk (divisor of m, multiple of 8) within a VMEM budget.
 
@@ -141,7 +147,7 @@ def dscf_rpe_bias_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        interpret=interpret,
+        interpret=interpret or _env_interpret(),
     )(pos, table)
 
 
@@ -268,7 +274,7 @@ def dscf_rpe_bias_rows_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        interpret=interpret,
+        interpret=interpret or _env_interpret(),
     )(pos, table)
 
 
