@@ -51,6 +51,11 @@ def main():
         "--dual", action="store_true",
         help="dual_batch=True: both modality streams in one stage pass",
     )
+    p.add_argument(
+        "--each", default="",
+        help="comma list of ablate tags measured ONE AT A TIME in this "
+        "process (saves the ~2.5 min tunnel startup per tag); '' = baseline",
+    )
     args = p.parse_args()
     if args.list:
         print(TAGS)
@@ -60,6 +65,28 @@ def main():
         k, _, v = kv.partition("=")
         os.environ[k] = v
 
+    import jax  # noqa: F401  (tunnel init)
+
+    if args.each:
+        for tag in args.each.split(";"):
+            os.environ["IR_ADS_ABLATE"] = tag
+            try:
+                _measure(args, tag)
+            except Exception as e:
+                import json as _json
+
+                print(
+                    _json.dumps(
+                        {"ablate": tag,
+                         "error": f"{type(e).__name__}: {str(e)[:200]}"}
+                    ),
+                    flush=True,
+                )
+    else:
+        _measure(args, args.ablate)
+
+
+def _measure(args, tag):
     import jax
     import jax.numpy as jnp
 
@@ -112,10 +139,10 @@ def main():
     t_long = time.time() - t0
     ms = 1000.0 * (t_long - t_short) / (args.iters - 2)
     print(json.dumps({
-        "ablate": args.ablate, "forward_ms": round(ms, 2),
+        "ablate": tag, "forward_ms": round(ms, 2),
         "batch": args.batch, "init_s": round(init_s, 1),
         "compile_s": round(compile_s, 1),
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -614,13 +614,18 @@ def _attn_kernel_v4(
     xn = xc * jax.lax.rsqrt(var + eps)
     xn = xn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
     if h_real != hp or w_real != wpx:
+        # Build the pad mask directly at (rh*wpx, 1): reshaping a (rh, wpx)
+        # i1 vector to (rh*wpx, 1) is an unsupported Mosaic shape cast (a
+        # lane-collapsing bool relayout — the one op that killed the whole
+        # r3 bench config), but a flat iota + div/mod needs no reshape.
         j = pl.program_id(1)
-        row = j * rh + jax.lax.broadcasted_iota(jnp.int32, (rh, wpx), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (rh, wpx), 1)
+        f = jax.lax.broadcasted_iota(jnp.int32, (rh * wpx, 1), 0)
+        row = j * rh + f // wpx
+        col = f % wpx
         pad = jnp.logical_or(
             (row + shift) % hp >= h_real, (col + shift) % wpx >= w_real
         )
-        xn = jnp.where(pad.reshape(rh * wpx, 1), 0.0, xn)
+        xn = jnp.where(pad, 0.0, xn)
     xn = xn.astype(cdt)
 
     # qkv projection (MXU, f32 accumulation), rounded like nn.Dense output
