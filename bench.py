@@ -168,13 +168,16 @@ def run_config(env: dict) -> dict:
         @functools.partial(jax.jit, static_argnums=(0,))
         def many(n, v, r, d):
             def body(carry, _):
-                r, _ = carry
+                r, d, _ = carry
                 out = _predict(v, r, d)
                 s = jnp.sum(out)
-                return (rgb + (s * 0.0).astype(r.dtype), s), None
+                # chain BOTH streams: a loop-invariant dte would let XLA
+                # hoist dte-only work out of the scan (see dev/ablate_full)
+                z = (s * 0.0).astype(r.dtype)
+                return (rgb + z, dte + z, s), None
 
-            (_, s_last), _ = jax.lax.scan(
-                body, (r, jnp.float32(0)), None, length=n
+            (_, _, s_last), _ = jax.lax.scan(
+                body, (r, d, jnp.float32(0)), None, length=n
             )
             return s_last
 

@@ -32,6 +32,7 @@ import time
 TAGS = [
     "",  # baseline
     "dscf", "dscf_rpe", "dscf_sample", "mpg", "head",
+    "dscf_fuseq", "dscf_offsets", "dscf_wgt", "dscf_attncore",
     "blocks128", "blocks256", "blocks512", "blocks1024",
 ]
 
@@ -118,12 +119,19 @@ def _measure(args, tag):
     @functools.partial(jax.jit, static_argnums=(0,))
     def many(n, v, r, d):
         def body(carry, _):
-            r, _ = carry
-            out = model.apply(v, r, dte, train=False)[0]
+            r, d, _ = carry
+            out = model.apply(v, r, d, train=False)[0]
             s = jnp.sum(out).astype(jnp.float32)
-            return (rgb + (s * 0.0).astype(r.dtype), s), None
+            # chain BOTH streams through the carry: a loop-invariant dte
+            # lets XLA hoist the whole dte trunk out of the scan whenever
+            # an ablation disconnects the streams (the "mpg saves 33 ms"
+            # artifact was exactly one hoisted trunk pass)
+            z = (s * 0.0).astype(r.dtype)
+            return (rgb + z, dte + z, s), None
 
-        (_, s_last), _ = jax.lax.scan(body, (r, jnp.float32(0)), None, length=n)
+        (_, _, s_last), _ = jax.lax.scan(
+            body, (r, d, jnp.float32(0)), None, length=n
+        )
         return s_last
 
     t0 = time.time()
@@ -142,6 +150,7 @@ def _measure(args, tag):
         "ablate": tag, "forward_ms": round(ms, 2),
         "batch": args.batch, "init_s": round(init_s, 1),
         "compile_s": round(compile_s, 1),
+        "env": args.env or None,
     }), flush=True)
 
 

@@ -785,16 +785,21 @@ class DAttentionMM(nn.Module):
         conv_cls = QuantConv if int8_enabled() else nn.Conv
 
         # fuse_q: conv3x3 + BN + GELU on concat (reference conv_bn_relu)
-        xy = jnp.concatenate([x, y], axis=-1)
-        xy = conv_cls(c, (3, 3), padding=1, dtype=self.dtype, name="fuse_q_conv")(xy)
-        xy = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.dtype,
-            name="fuse_q_bn",
-        )(xy)
-        xy = nn.gelu(xy)
+        if ablated("dscf_fuseq"):  # perf-attribution stub
+            xy = x + (0.0 * jnp.mean(y)).astype(x.dtype)
+        else:
+            xy = jnp.concatenate([x, y], axis=-1)
+            xy = conv_cls(
+                c, (3, 3), padding=1, dtype=self.dtype, name="fuse_q_conv"
+            )(xy)
+            xy = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                name="fuse_q_bn",
+            )(xy)
+            xy = nn.gelu(xy)
         q = conv_cls(c, (1, 1), dtype=self.dtype, name="proj_q")(xy)
 
         # offset fields from each modality, per group
@@ -807,12 +812,22 @@ class DAttentionMM(nn.Module):
 
         x_off_in = group_view(x)
         y_off_in = group_view(y)
-        x_offset = LayerNormGELUOffset(
-            gc, self.ksize, self.stride, dtype=self.dtype, name="conv_offset_x"
-        )(x_off_in)
-        y_offset = LayerNormGELUOffset(
-            gc, self.ksize, self.stride, dtype=self.dtype, name="conv_offset_y"
-        )(y_off_in)
+        if ablated("dscf_offsets"):  # perf-attribution stub
+            pad = self.ksize // 2 if self.ksize != self.stride else 0
+            hk0 = (h + 2 * pad - self.ksize) // self.stride + 1
+            wk0 = (w + 2 * pad - self.ksize) // self.stride + 1
+            dep = (0.0 * (jnp.mean(x_off_in) + jnp.mean(y_off_in))).astype(
+                jnp.float32
+            )
+            x_offset = jnp.zeros((b * g, hk0, wk0, 2), jnp.float32) + dep
+            y_offset = x_offset
+        else:
+            x_offset = LayerNormGELUOffset(
+                gc, self.ksize, self.stride, dtype=self.dtype, name="conv_offset_x"
+            )(x_off_in)
+            y_offset = LayerNormGELUOffset(
+                gc, self.ksize, self.stride, dtype=self.dtype, name="conv_offset_y"
+            )(y_off_in)
         hk, wk = x_offset.shape[1], x_offset.shape[2]
         n = hk * wk
 
@@ -845,16 +860,23 @@ class DAttentionMM(nn.Module):
             q_sampled = both(q)
 
         # q-conditioned modality mixing weight (reference get_sample_weight)
-        wgt = conv_cls(c, (1, 1), dtype=self.dtype, name="sample_weight_fc1")(
-            q_sampled
-        )
-        wgt = nn.relu(wgt)
-        wgt = conv_cls(2, (1, 1), dtype=self.dtype, name="sample_weight_fc2")(wgt)
-        wgt = jax.nn.softmax(wgt.astype(jnp.float32), axis=-1)
-        sampled = (
-            wgt[..., 0:1] * x_sampled.astype(jnp.float32)
-            + wgt[..., 1:2] * y_sampled.astype(jnp.float32)
-        ).astype(x_sampled.dtype)
+        if ablated("dscf_wgt"):  # perf-attribution stub
+            sampled = x_sampled + (
+                0.0 * (jnp.mean(q_sampled) + jnp.mean(y_sampled))
+            ).astype(x_sampled.dtype)
+        else:
+            wgt = conv_cls(c, (1, 1), dtype=self.dtype, name="sample_weight_fc1")(
+                q_sampled
+            )
+            wgt = nn.relu(wgt)
+            wgt = conv_cls(2, (1, 1), dtype=self.dtype, name="sample_weight_fc2")(
+                wgt
+            )
+            wgt = jax.nn.softmax(wgt.astype(jnp.float32), axis=-1)
+            sampled = (
+                wgt[..., 0:1] * x_sampled.astype(jnp.float32)
+                + wgt[..., 1:2] * y_sampled.astype(jnp.float32)
+            ).astype(x_sampled.dtype)
 
         k = conv_cls(c, (1, 1), dtype=self.dtype, name="proj_k")(sampled)
         v = conv_cls(c, (1, 1), dtype=self.dtype, name="proj_v")(sampled)
@@ -952,7 +974,12 @@ class DAttentionMM(nn.Module):
                 if (2 * n % 8 == 0 and jax.default_backend() == "tpu")
                 else "xla"
             )
-        if attn_impl == "pallas3" and 2 * n % 8 == 0:
+        if ablated("dscf_attncore"):  # perf-attribution stub: no scores/
+            # softmax/PV/rpe, but k/v projections + layouts stay
+            out = q * (
+                1.0 + (0.0 * (jnp.sum(k) + jnp.sum(v))).astype(q.dtype)
+            )
+        elif attn_impl == "pallas3" and 2 * n % 8 == 0:
             from ir_ads_tpu.ops.pallas_dscf import dscf_attention_rows
             from ir_ads_tpu.ops.pallas_dscf_rpe import dscf_rpe_bias_rows
 

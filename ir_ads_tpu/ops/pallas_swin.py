@@ -198,43 +198,26 @@ fused_window_attention.defvjp(_fused_fwd, _fused_bwd)
 # --------------------------------------------------------------------------
 
 
-def _attn_kernel_v2(qkv_ref, bias_ref, region_ref, o_ref, *, scale, heads):
+def _attn_kernel_v2(
+    qkv_ref, bias_ref, region_ref, o_ref, *, scale, heads, packed=False
+):
     """One chunk of G windows, ALL heads.
 
     qkv: (G, N, 3C) VMEM; bias: (heads, N, N) f32; region: (G, N) int32;
-    out: (G, N, C).
+    out: (G, N, C).  Per-head stores go straight into the head's lane
+    slice: keeps only one head group's f32 score matrix live at a time (a
+    gathered outs-list + concatenate held all of them -> scoped-vmem OOM
+    at 16 heads).  Native-dtype operands + f32 accumulation: same
+    contraction semantics as the XLA reference path (bf16 runs the MXU at
+    full rate; an f32 upcast here measured ~15% slower).
     """
     qkv = qkv_ref[...]
-    g, n, c3 = qkv.shape
-    c = c3 // 3
-    d = c // heads
     region = region_ref[...]
     neq = region[:, :, None] != region[:, None, :]  # (G, N, N)
-    for h in range(heads):
-        # native-dtype operands + f32 accumulation: same contraction
-        # semantics as the XLA reference path (bf16 runs the MXU at
-        # full rate; an f32 upcast here measured ~15% slower)
-        q = qkv[:, :, h * d : (h + 1) * d]
-        k = qkv[:, :, c + h * d : c + (h + 1) * d]
-        v = qkv[:, :, 2 * c + h * d : 2 * c + (h + 1) * d]
-        s = jax.lax.dot_general(
-            (q * scale).astype(q.dtype),
-            k,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (G, N, N) f32, VMEM-only
-        s = s + bias_ref[h][None]
-        s = jnp.where(neq, s - 1e9, s)
-        p = jax.nn.softmax(s, axis=-1)
-        # store straight into the head's lane slice: keeps only ONE head's
-        # f32 score matrix live at a time (a gathered outs-list +
-        # concatenate held all of them -> scoped-vmem OOM at 16 heads)
-        o_ref[:, :, h * d : (h + 1) * d] = jax.lax.dot_general(
-            p.astype(v.dtype),
-            v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
+    _heads_attention(
+        qkv, bias_ref[...], neq, o_ref,
+        scale=scale, heads=heads, cdt=o_ref.dtype, packed=packed,
+    )
 
 
 def pallas_window_attention_qkv(
@@ -276,7 +259,10 @@ def pallas_window_attention_qkv(
         )
 
     out = pl.pallas_call(
-        functools.partial(_attn_kernel_v2, scale=scale, heads=heads),
+        functools.partial(
+            _attn_kernel_v2, scale=scale, heads=heads,
+            packed=_packed_enabled(),
+        ),
         out_shape=jax.ShapeDtypeStruct((bn_pad, n, c), qkv.dtype),
         grid=(bn_pad // g,),
         in_specs=[
@@ -361,6 +347,93 @@ def shift_region_ids(hp: int, wp: int, ws: int, shift: int) -> np.ndarray:
     return img.reshape(-1, ws * ws)
 
 
+def _heads_attention(qkvw, bias, neq, outw_ref, *, scale, heads, cdt, packed):
+    """Per-head window attention on a VMEM-resident (G, N, 3C) block,
+    writing (G, N, C) into ``outw_ref``.
+
+    packed=False: one K=d dot per head (d = C/heads = 32 for every Swin-B/L
+    stage) — the MXU contracts 32 of its 128 K lanes and each band issues
+    heads x 2 tiny dots, which measures issue-bound at the late stages
+    (16/32 heads, 3-4 windows per band).
+
+    packed=True: process p = 128//d heads per dot via block-diagonal Q
+    packing.  For a head group [q_0..q_{p-1}] with channels side by side
+    (N, p*d), build Q_bd (p*N, p*d) = tile(q, (p, 1)) masked so row block h
+    keeps only head h's channel slice; then
+
+        S_tall (p*N, N) = Q_bd @ k_group^T
+
+    computes every head's scores in ONE full-K (=128) contraction (the
+    zeroed channels contribute exact 0.0 to the f32 accumulator, so the
+    result is bitwise the per-head dot).  Softmax rows are per-(head, query)
+    — the natural layout.  The PV dot P_tall (p*N, N) @ v_group (N, p*d)
+    computes all p channel slices for each head (p x logical waste but
+    fewer MXU passes than p separate K=N dots into d=32-lane outputs);
+    the diagonal blocks are extracted with a constant mask + sum over the
+    p row blocks (VPU-cheap).  Net at stage-2 shapes: 2 dots per 4 heads
+    instead of 8, ~1.6x fewer MXU passes and 4x fewer instructions.
+    """
+    g_, n, c3 = qkvw.shape
+    c = c3 // 3
+    d = c // heads
+    p = 128 // max(d, 1) if d and 128 % d == 0 else 1
+    if not packed or p <= 1 or heads % p:
+        for h in range(heads):
+            q = qkvw[:, :, h * d : (h + 1) * d]
+            k = qkvw[:, :, c + h * d : c + (h + 1) * d]
+            v = qkvw[:, :, 2 * c + h * d : 2 * c + (h + 1) * d]
+            s = jax.lax.dot_general(
+                (q * scale).astype(q.dtype), k,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            s = s + bias[h][None]
+            s = jnp.where(neq, s - 1e9, s)
+            pr = jax.nn.softmax(s, axis=-1)
+            outw_ref[:, :, h * d : (h + 1) * d] = jax.lax.dot_general(
+                pr.astype(v.dtype), v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(cdt)
+        return
+
+    pd = p * d
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (p * n, pd), 0) // n
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (p * n, pd), 1) // d
+    sel = row_head == col_head  # (pN, pd) block-diagonal selector
+    osel = (
+        jax.lax.broadcasted_iota(jnp.int32, (p, 1, pd), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (p, 1, pd), 2) // d
+    ).astype(jnp.float32)
+    neq_t = jnp.tile(neq, (1, p, 1))  # (G, pN, N)
+    for h0 in range(0, heads, p):
+        q = qkvw[:, :, h0 * d : h0 * d + pd]
+        k = qkvw[:, :, c + h0 * d : c + h0 * d + pd]
+        v = qkvw[:, :, 2 * c + h0 * d : 2 * c + h0 * d + pd]
+        q_bd = jnp.where(sel[None], jnp.tile(q, (1, p, 1)), 0).astype(q.dtype)
+        s = jax.lax.dot_general(
+            (q_bd * scale).astype(q.dtype), k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (G, pN, N) f32
+        s = s + bias[h0 : h0 + p].reshape(p * n, n)[None]
+        s = jnp.where(neq_t, s - 1e9, s)
+        pr = jax.nn.softmax(s, axis=-1)
+        o_full = jax.lax.dot_general(
+            pr.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (G, pN, pd) f32
+        o = jnp.sum(o_full.reshape(g_, p, n, pd) * osel[None], axis=1)
+        outw_ref[:, :, h0 * d : h0 * d + pd] = o.astype(cdt)
+
+
+def _packed_enabled() -> bool:
+    import os
+
+    return os.environ.get("IR_ADS_SWIN_PACKED", "1") not in ("", "0")
+
+
 # --------------------------------------------------------------------------
 # v3 kernel: window partition/reverse folded into the kernel (map layout).
 #
@@ -378,7 +451,7 @@ def shift_region_ids(hp: int, wp: int, ws: int, shift: int) -> np.ndarray:
 
 def _attn_kernel_v3(
     qkv_ref, bias_ref, region_ref, o_ref, outw_ref, *, scale, heads, ws,
-    nwin_w
+    nwin_w, packed=False
 ):
     """One band of window rows, ALL heads.
 
@@ -402,26 +475,10 @@ def _attn_kernel_v3(
     # (g, N) fully, satisfying Mosaic's block-divisibility rule for any g
     region = region_ref[0]
     neq = region[:, :, None] != region[:, None, :]  # (G, N, N)
-    for h in range(heads):
-        q = qkvw[:, :, h * d : (h + 1) * d]
-        k = qkvw[:, :, c + h * d : c + (h + 1) * d]
-        v = qkvw[:, :, 2 * c + h * d : 2 * c + (h + 1) * d]
-        s = jax.lax.dot_general(
-            (q * scale).astype(q.dtype),
-            k,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (G, N, N) f32, VMEM-only
-        s = s + bias_ref[h][None]
-        s = jnp.where(neq, s - 1e9, s)
-        p = jax.nn.softmax(s, axis=-1)
-        # static lane-slice ref write (one head's score matrix live at a time)
-        outw_ref[:, :, h * d : (h + 1) * d] = jax.lax.dot_general(
-            p.astype(v.dtype),
-            v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
+    _heads_attention(
+        qkvw, bias_ref[...], neq, outw_ref,
+        scale=scale, heads=heads, cdt=o_ref.dtype, packed=packed,
+    )
     # VMEM-local window reverse
     o_ref[0] = (
         outw_ref[...]
@@ -482,7 +539,8 @@ def pallas_window_attention_map(
 
     out = pl.pallas_call(
         functools.partial(
-            _attn_kernel_v3, scale=scale, heads=heads, ws=ws, nwin_w=nwin_w
+            _attn_kernel_v3, scale=scale, heads=heads, ws=ws, nwin_w=nwin_w,
+            packed=_packed_enabled(),
         ),
         out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), qkv.dtype),
         grid=(b, nwin_h // rows_per_step),
@@ -582,7 +640,7 @@ fused_window_attention_map.defvjp(_fused_map_fwd, _fused_map_bwd)
 def _attn_kernel_v4(
     x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
     region_ref, o_ref, outw_ref, *, eps, scale, heads, ws, nwin_w,
-    hp, h_real, w_real, shift,
+    hp, h_real, w_real, shift, packed=False,
 ):
     """One band of window rows, all heads.
 
@@ -644,23 +702,10 @@ def _attn_kernel_v4(
     )
     region = region_ref[0]
     neq = region[:, :, None] != region[:, None, :]  # (G, N, N)
-    for h in range(heads):
-        q = qkvw[:, :, h * d : (h + 1) * d]
-        k = qkvw[:, :, c + h * d : c + (h + 1) * d]
-        v = qkvw[:, :, 2 * c + h * d : 2 * c + (h + 1) * d]
-        s = jax.lax.dot_general(
-            (q * scale).astype(q.dtype), k,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        s = s + bias_ref[h][None]
-        s = jnp.where(neq, s - 1e9, s)
-        p = jax.nn.softmax(s, axis=-1)
-        outw_ref[:, :, h * d : (h + 1) * d] = jax.lax.dot_general(
-            p.astype(v.dtype), v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(cdt)
+    _heads_attention(
+        qkvw, bias_ref[...], neq, outw_ref,
+        scale=scale, heads=heads, cdt=cdt, packed=packed,
+    )
     # VMEM window reverse -> (rh*wp, C)
     att = (
         outw_ref[...]
@@ -735,6 +780,7 @@ def pallas_window_block(
         functools.partial(
             _attn_kernel_v4, eps=eps, scale=scale, heads=heads, ws=ws,
             nwin_w=nwin_w, hp=hp, h_real=h_real, w_real=w_real, shift=shift,
+            packed=_packed_enabled(),
         ),
         out_shape=jax.ShapeDtypeStruct((b, hp, wpx, c), x.dtype),
         grid=(b, n_bands),

@@ -199,3 +199,33 @@ def test_gradients_flow_through_custom_vjp():
             )
     finally:
         os.environ.pop("IR_ADS_PALLAS_INTERPRET", None)
+
+
+@pytest.mark.parametrize("heads,c", [(4, 128), (8, 256)])
+def test_packed_heads_matches_per_head(heads, c, monkeypatch):
+    """d = C/heads = 32 -> the block-diagonal 4-heads-per-dot packing path
+    (_heads_attention packed=True).  Must be bitwise the per-head loop: the
+    packed QK dot only adds exact-zero products to the f32 accumulator."""
+    ws = 4
+    key = jax.random.PRNGKey(11)
+    p = _params(key, c, heads, ws)
+    x = jax.random.normal(jax.random.PRNGKey(12), (2, 8, 8, c), jnp.float32)
+    region = jnp.asarray(shift_region_ids(8, 8, ws, 2))
+    args = [p[k] for k in ORDER]
+    scale = (c // heads) ** -0.5
+
+    monkeypatch.setenv("IR_ADS_SWIN_PACKED", "0")
+    base = pallas_window_block(
+        x, *args, region, scale, heads, ws, shift=2, interpret=True
+    )
+    monkeypatch.setenv("IR_ADS_SWIN_PACKED", "1")
+    packed = pallas_window_block(
+        x, *args, region, scale, heads, ws, shift=2, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(packed), np.asarray(base), rtol=0, atol=0
+    )
+    ref = _block_reference(x, *args, region, scale, heads, ws, shift=2)
+    np.testing.assert_allclose(
+        np.asarray(packed), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
