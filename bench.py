@@ -51,16 +51,27 @@ ITERS = 10
 # consumed with zero HBM relayout, transposed-score attention kernel) wins
 # at every level and is the production config (see DAttentionMM notes).
 CONFIGS = [
-    # v4 whole half-block kernels + fused block tails + pallas3 DSCF:
-    # the attention half and the FFN half of every Swin block each run as
-    # one HBM read + one write (stage-2's 18 C=512 blocks alone measured
-    # ~36 ms of the 91 ms round-1 forward in unfused form)
+    # r4: v4 half-block kernels with PACKED-HEAD attention dots (4 heads
+    # per full-K MXU dot, bitwise-equal; see ops/pallas_swin._heads_attention)
+    # + fused block tails + pallas3 DSCF.  In-context v5e: 81.1 ms B=8
+    # forward vs 86.3 for the r2 config (dev/ablate_full sweeps r2026-08-18).
+    (
+        "r4",
+        {
+            "IR_ADS_SWIN_ATTN": "pallas4",
+            "IR_ADS_DSCF_ATTN": "pallas3",
+            "IR_ADS_FFN": "fused",
+            "IR_ADS_SWIN_PACKED": "1",
+        },
+    ),
+    # r3: same but per-head attention dots (round-2 mid state)
     (
         "r3",
         {
             "IR_ADS_SWIN_ATTN": "pallas4",
             "IR_ADS_DSCF_ATTN": "pallas3",
             "IR_ADS_FFN": "fused",
+            "IR_ADS_SWIN_PACKED": "0",
         },
     ),
     # production r2: v2 window kernels + pallas3 rows-layout DSCF
@@ -70,6 +81,23 @@ CONFIGS = [
     # pure XLA (always compiles)
     ("xla", {"IR_ADS_SWIN_ATTN": "xla", "IR_ADS_DSCF_ATTN": "xla"}),
 ]
+
+# w8a8 MXU eval config: qkv/proj/FFN dots in s8 (in-kernel dynamic
+# activation quant; ops/pallas_{swin,mlp} int8 variants, parity budget in
+# tests/test_pallas_int8.py + tests/test_int8.py).  Opt-in until real-data
+# mIoU parity is demonstrated: IR_ADS_BENCH_CONFIG=r4i8.
+CONFIGS.append(
+    (
+        "r4i8",
+        {
+            "IR_ADS_SWIN_ATTN": "pallas4",
+            "IR_ADS_DSCF_ATTN": "pallas3",
+            "IR_ADS_FFN": "fused",
+            "IR_ADS_SWIN_PACKED": "1",
+            "IR_ADS_INT8": "1",
+        },
+    ),
+)
 
 
 def measure_data_loader(n_imgs: int = 24, batch: int = 4) -> float:

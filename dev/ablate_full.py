@@ -32,7 +32,7 @@ import time
 TAGS = [
     "",  # baseline
     "dscf", "dscf_rpe", "dscf_sample", "mpg", "head",
-    "dscf_fuseq", "dscf_offsets", "dscf_wgt", "dscf_attncore",
+    "dscf_fuseq", "dscf_offsets", "dscf_wgt", "dscf_attncore", "tail",
     "blocks128", "blocks256", "blocks512", "blocks1024",
 ]
 

@@ -357,19 +357,14 @@ class _ShiftWindowMSAParams(nn.Module):
 
 def _ffn_impl() -> str:
     """Block-tail implementation: fused Pallas kernel on TPU eval, XLA
-    otherwise.  Override with IR_ADS_FFN=fused|xla."""
+    otherwise.  Override with IR_ADS_FFN=fused|xla.  Under IR_ADS_INT8 the
+    fused kernel runs its w8a8 variant (ops/pallas_mlp._tail_kernel_int8)."""
     import os
-
-    from ir_ads_tpu.ops.int8 import int8_enabled
 
     ov = os.environ.get("IR_ADS_FFN", "")
     if ov:
         return ov
-    return (
-        "fused"
-        if jax.default_backend() == "tpu" and not int8_enabled()
-        else "xla"
-    )
+    return "fused" if jax.default_backend() == "tpu" else "xla"
 
 
 class SwinBlockAdapter(nn.Module):
@@ -405,11 +400,36 @@ class SwinBlockAdapter(nn.Module):
             attn_impl = os.environ.get("IR_ADS_SWIN_ATTN", "") or (
                 "pallas" if jax.default_backend() == "tpu" else "xla"
             )
-        if attn_impl == "pallas4" and not deterministic:
-            # v4 is eval-only (dropout/drop-path need the module path)
+        if attn_impl in ("pallas4", "pallas5") and not deterministic:
+            # v4/v5 are eval-only (dropout/drop-path need the module path)
             attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
-        if attn_impl == "pallas4":
+        if attn_impl == "pallas5":
+            # v5 whole-map fused half-block (ops/pallas_swin.py): pad,
+            # cyclic roll, crop and both projections all live inside the
+            # kernel — the attention half is exactly 2 HBM passes (read the
+            # real x map, write the real y map), no XLA glue at all.
+            from ir_ads_tpu.ops.pallas_swin import fused_window_block_full
+
+            b_, h_, w_, cc = x.shape
+            ws = self.window_size
+            shift = ws // 2 if self.shift else 0
+            s1, b1 = _LNParams(cc, name="norm1")()
+            table, wq, bq, wpj, bpj = _ShiftWindowMSAParams(
+                cc, self.num_heads, ws, name="attn"
+            )()
+            scale = (cc // self.num_heads) ** -0.5
+            bias = gather_rel_pos_bias(table, ws, ws)
+            hp = -(-h_ // ws) * ws
+            wp = -(-w_ // ws) * ws
+            region = None
+            if shift > 0:
+                region = jnp.asarray(shift_region_ids(hp, wp, ws, shift))
+            x = fused_window_block_full(
+                x, s1, b1, wq, bq, wpj, bpj, bias, region,
+                scale, self.num_heads, ws, shift,
+            )
+        elif attn_impl == "pallas4":
             # v4 fused attention half-block (ops/pallas_swin.py): one HBM
             # read of x, one write of y = x + proj(attn(qkv(LN1(x)))) —
             # LN1, qkv, the window partition/reverse, attention and the
@@ -463,6 +483,8 @@ class SwinBlockAdapter(nn.Module):
             )(h, deterministic, drop_path_override)
             x = h + identity
 
+        if ablated("tail"):  # perf-attribution stub (x keeps its deps)
+            return x
         # Block tail: out = x + FFN(LN(x)) + 0.5*Adapter(x).  On TPU eval
         # the fused kernel (ops/pallas_mlp.py) runs it in one HBM
         # read + one write (the FFN hidden / LN / adapter branch never

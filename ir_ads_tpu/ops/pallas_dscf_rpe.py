@@ -248,9 +248,15 @@ def dscf_rpe_bias_rows_pallas(
     bg, m, _ = pos.shape
     g, hg, s1, s2 = table.shape
     if j_chunk is None:
-        j_chunk = _auto_j_chunk(
-            m, h, w, s1, s2, hg, jnp.dtype(out_dtype).itemsize
-        )
+        import os
+
+        ov = os.environ.get("IR_ADS_DSCF_RPE_JC", "")
+        if ov and m % int(ov) == 0:
+            j_chunk = int(ov)
+        else:
+            j_chunk = _auto_j_chunk(
+                m, h, w, s1, s2, hg, jnp.dtype(out_dtype).itemsize
+            )
     assert m % j_chunk == 0, (m, j_chunk)
 
     kernel = functools.partial(

@@ -72,6 +72,67 @@ def _tail_kernel(
     o_ref[...] = (x + ffn + adapter_scale * a).astype(o_ref.dtype)
 
 
+def _tail_kernel_int8(
+    x_ref, g_ref, b_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+    aw1_ref, ab1_ref, aw2_ref, ab2_ref, o_ref, *, eps, adapter_scale,
+):
+    """w8a8 tail: the two FFN dots run s8 x s8 -> s32 on the MXU (~2x the
+    bf16 rate on v5e).  Weights arrive pre-quantized (per-output-channel
+    symmetric, scales s1/s2); activations are quantized per ROW in VMEM
+    (dynamic abs-max — exact to factor out of the dot).  The adapter branch
+    (C -> C/16 -> C, ~3% of tail FLOPs) stays in the compute dtype.
+    Numerics: matches ops.int8.quantized_matmul (tests/test_pallas_int8.py).
+    """
+    x = x_ref[...].astype(jnp.float32)  # (TR, C)
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    xn = xc * jax.lax.rsqrt(var + eps)
+    xn = xn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    cdt = aw1_ref.dtype
+    # rounding point parity with the float kernel: the unfused path rounds
+    # LN output to the compute dtype before Dense_0 reads it
+    xn = xn.astype(cdt).astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xn), axis=1, keepdims=True), 1e-12) / 127.0
+    xq = jnp.round(xn / sx).astype(jnp.int8)
+    h = jax.lax.dot_general(
+        xq, w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * sx * s1_ref[...].astype(jnp.float32)
+    h = h + b1_ref[...].astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=True)
+    sh = jnp.maximum(jnp.max(jnp.abs(h), axis=1, keepdims=True), 1e-12) / 127.0
+    hq = jnp.round(h / sh).astype(jnp.int8)
+    ffn = jax.lax.dot_general(
+        hq, w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * sh * s2_ref[...].astype(jnp.float32)
+    ffn = ffn + b2_ref[...].astype(jnp.float32)
+    a = jax.lax.dot_general(
+        x.astype(cdt), aw1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + ab1_ref[...].astype(jnp.float32)
+    a = jnp.maximum(a, 0.0).astype(cdt)
+    a = jax.lax.dot_general(
+        a, aw2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + ab2_ref[...].astype(jnp.float32)
+    o_ref[...] = (x + ffn + adapter_scale * a).astype(o_ref.dtype)
+
+
+def quantize_weight(w: jax.Array):
+    """Per-output-channel symmetric int8: returns (w_q (K, N) s8, s (1, N))."""
+    s = jnp.maximum(jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0,
+                            keepdims=True), 1e-12) / 127.0
+    return jnp.clip(jnp.round(w.astype(jnp.float32) / s), -127, 127).astype(
+        jnp.int8
+    ), s
+
+
 def _pick_tile(n: int, hidden: int) -> int:
     """Row tile: keep the (TR, 4C) f32 hidden under ~8 MB, TR multiple of 8."""
     budget = 8 * 1024 * 1024
@@ -113,6 +174,39 @@ def fused_block_tail_pallas(
     full = lambda *shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
+    from ir_ads_tpu.ops.int8 import int8_enabled
+
+    if int8_enabled():
+        w1q, s1 = quantize_weight(w1)
+        w2q, s2 = quantize_weight(w2)
+        out = pl.pallas_call(
+            functools.partial(
+                _tail_kernel_int8, eps=eps, adapter_scale=adapter_scale
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_pad, c), x.dtype),
+            grid=(n_pad // tr,),
+            in_specs=[
+                pl.BlockSpec((tr, c), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                full(1, c), full(1, c),
+                full(c, hidden), full(1, hidden), full(1, hidden),
+                full(hidden, c), full(1, c), full(1, c),
+                full(c, ca), full(1, ca),
+                full(ca, c), full(1, c),
+            ],
+            out_specs=pl.BlockSpec(
+                (tr, c), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            x, vec(ln_scale), vec(ln_bias),
+            w1q, s1, vec(b1), w2q, s2, vec(b2),
+            aw1.astype(cdt), vec(ab1), aw2.astype(cdt), vec(ab2),
+        )
+        return out[:n]
     out = pl.pallas_call(
         functools.partial(
             _tail_kernel, eps=eps, adapter_scale=adapter_scale

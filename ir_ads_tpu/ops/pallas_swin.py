@@ -377,6 +377,10 @@ def _heads_attention(qkvw, bias, neq, outw_ref, *, scale, heads, cdt, packed):
     c = c3 // 3
     d = c // heads
     p = 128 // max(d, 1) if d and 128 % d == 0 else 1
+    if isinstance(packed, int) and not isinstance(packed, bool):
+        p = min(p, packed)  # caller-capped pack factor (VMEM budget)
+    while p > 1 and heads % p:
+        p //= 2
     if not packed or p <= 1 or heads % p:
         for h in range(heads):
             q = qkvw[:, :, h * d : (h + 1) * d]
@@ -722,6 +726,75 @@ def _attn_kernel_v4(
     o_ref[0] = (xf + out).astype(o_ref.dtype).reshape(rh, wpx, c)
 
 
+def _attn_kernel_v4_int8(
+    x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref, wp_ref, sp_ref,
+    bp_ref, bias_ref, region_ref, o_ref, outw_ref, *, eps, scale, heads,
+    ws, nwin_w, hp, h_real, w_real, shift, packed=False,
+):
+    """w8a8 variant of the v4 half-block: the qkv and out projections run
+    s8 x s8 -> s32 on the MXU; attention itself stays in the compute dtype
+    (its operands are small and bias/softmax are f32 anyway).  Weights
+    arrive pre-quantized per output channel; activations quantize per row
+    in VMEM (dynamic abs-max, exact to factor out)."""
+    x = x_ref[0]
+    rh, wpx, c = x.shape
+    rows = rh // ws
+    n = ws * ws
+    cdt = o_ref.dtype
+
+    xf = x.reshape(rh * wpx, c).astype(jnp.float32)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    xn = xc * jax.lax.rsqrt(var + eps)
+    xn = xn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    if h_real != hp or w_real != wpx:
+        j = pl.program_id(1)
+        f = jax.lax.broadcasted_iota(jnp.int32, (rh * wpx, 1), 0)
+        row = j * rh + f // wpx
+        col = f % wpx
+        pad = jnp.logical_or(
+            (row + shift) % hp >= h_real, (col + shift) % wpx >= w_real
+        )
+        xn = jnp.where(pad, 0.0, xn)
+    xn = xn.astype(cdt).astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xn), axis=1, keepdims=True), 1e-12) / 127.0
+    xq = jnp.round(xn / sx).astype(jnp.int8)
+    qkv = jax.lax.dot_general(
+        xq, wqkv_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * sx * sqkv_ref[...].astype(jnp.float32)
+    qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(cdt)
+
+    qkvw = (
+        qkv.reshape(rows, ws, nwin_w, ws, 3 * c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(rows * nwin_w, n, 3 * c)
+    )
+    region = region_ref[0]
+    neq = region[:, :, None] != region[:, None, :]
+    _heads_attention(
+        qkvw, bias_ref[...], neq, outw_ref,
+        scale=scale, heads=heads, cdt=cdt, packed=packed,
+    )
+    att = (
+        outw_ref[...]
+        .reshape(rows, nwin_w, ws, ws, c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(rh * wpx, c)
+    ).astype(jnp.float32)
+    sa = jnp.maximum(jnp.max(jnp.abs(att), axis=1, keepdims=True), 1e-12) / 127.0
+    aq = jnp.round(att / sa).astype(jnp.int8)
+    out = jax.lax.dot_general(
+        aq, wp_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * sa * sp_ref[...].astype(jnp.float32)
+    out = out + bp_ref[...].astype(jnp.float32)
+    o_ref[0] = (xf + out).astype(o_ref.dtype).reshape(rh, wpx, c)
+
+
 def pallas_window_block(
     x: jax.Array,          # (B, Hp, Wp, C) rolled/padded map
     ln_scale: jax.Array,   # (C,)
@@ -776,6 +849,53 @@ def pallas_window_block(
             shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM
         )
 
+    from ir_ads_tpu.ops.int8 import int8_enabled
+
+    if int8_enabled():
+        from ir_ads_tpu.ops.pallas_mlp import quantize_weight
+
+        wq, sq = quantize_weight(wqkv)
+        wp_q, sp = quantize_weight(wproj)
+        out = pl.pallas_call(
+            functools.partial(
+                _attn_kernel_v4_int8, eps=eps, scale=scale, heads=heads,
+                ws=ws, nwin_w=nwin_w, hp=hp, h_real=h_real, w_real=w_real,
+                shift=shift, packed=_packed_enabled(),
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, hp, wpx, c), x.dtype),
+            grid=(b, n_bands),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, rows_per_step * ws, wpx, c),
+                    lambda i, j: (i, j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                wspec(1, c), wspec(1, c),
+                wspec(c, 3 * c), wspec(1, 3 * c), wspec(1, 3 * c),
+                wspec(c, c), wspec(1, c), wspec(1, c),
+                wspec(heads, n, n),
+                pl.BlockSpec(
+                    (1, g, n), lambda i, j: (j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, rows_per_step * ws, wpx, c),
+                lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[pltpu.VMEM((g, n, c), x.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(
+            x, vec(ln_scale), vec(ln_bias),
+            wq, sq, vec(bqkv), wp_q, sp, vec(bproj),
+            bias.astype(jnp.float32), region_banded,
+        )
+        return out
+
     out = pl.pallas_call(
         functools.partial(
             _attn_kernel_v4, eps=eps, scale=scale, heads=heads, ws=ws,
@@ -814,6 +934,256 @@ def pallas_window_block(
         bias.astype(jnp.float32), region_banded,
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# v5 kernel: the WHOLE padded map per grid step — pad, cyclic roll, crop and
+# both projections fold into the kernel.
+#
+# v4 still leaves pad / roll / un-roll / slice in XLA: 2-6 full-map HBM
+# materializations per block (the SW-MSA roll alone is 4).  At 480p every
+# stage's padded map + qkv + packed scores fit VMEM (~70 MB worst case at
+# stage 0 with pack=2), so v5 reads the REAL (unpadded) map once, runs
+# LN1 -> zero-pad -> roll -> qkv -> window attention -> reverse -> un-roll
+# -> crop -> out-projection -> residual entirely in VMEM, and writes the
+# real map once: 2 HBM passes per attention half-block, total.
+#
+# Exactness: the module path LNs BEFORE padding, so in-kernel zero-padding
+# after LN reproduces it exactly (no pad-mask needed, unlike v4); proj is
+# per-token so crop-before-proj == proj-before-crop.
+# --------------------------------------------------------------------------
+
+
+def _attn_kernel_v5(
+    x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
+    region_ref, o_ref, outw_ref, *, eps, scale, heads, ws, shift, hp, wp,
+    pack,
+):
+    """Grid: (B,).  x/o: (1, H, W, C) REAL maps; outw: (nW, N, C) scratch."""
+    x = x_ref[0]  # (H, W, C)
+    h_, w_, c = x.shape
+    n = ws * ws
+    nwin_w = wp // ws
+    cdt = wqkv_ref.dtype
+
+    xf = x.reshape(h_ * w_, c).astype(jnp.float32)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    xn = xc * jax.lax.rsqrt(var + eps)
+    xn = xn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    xn = xn.astype(cdt).reshape(h_, w_, c)
+    # zero-pad to window multiples (module semantics: pad AFTER norm1)
+    if wp != w_:
+        xn = jnp.concatenate(
+            [xn, jnp.zeros((h_, wp - w_, c), cdt)], axis=1
+        )
+    if hp != h_:
+        xn = jnp.concatenate(
+            [xn, jnp.zeros((hp - h_, wp, c), cdt)], axis=0
+        )
+    # cyclic shift (VMEM concat instead of an XLA roll round-trip)
+    if shift:
+        xn = jnp.concatenate([xn[shift:], xn[:shift]], axis=0)
+        xn = jnp.concatenate([xn[:, shift:], xn[:, :shift]], axis=1)
+
+    qkv = jax.lax.dot_general(
+        xn.reshape(hp * wp, c), wqkv_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[...].astype(jnp.float32)
+    qkv = qkv.astype(cdt)
+
+    qkvw = (
+        qkv.reshape(hp // ws, ws, nwin_w, ws, 3 * c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape((hp // ws) * nwin_w, n, 3 * c)
+    )
+    region = region_ref[...]
+    neq = region[:, :, None] != region[:, None, :]  # (nW, N, N)
+    _heads_attention(
+        qkvw, bias_ref[...], neq, outw_ref,
+        scale=scale, heads=heads, cdt=cdt, packed=pack,
+    )
+    att = (
+        outw_ref[...]
+        .reshape(hp // ws, nwin_w, ws, ws, c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(hp, wp, c)
+    )
+    if shift:  # inverse roll
+        att = jnp.concatenate([att[hp - shift:], att[:hp - shift]], axis=0)
+        att = jnp.concatenate(
+            [att[:, wp - shift:], att[:, :wp - shift]], axis=1
+        )
+    att = att[:h_, :w_].reshape(h_ * w_, c)  # crop, then project
+    out = jax.lax.dot_general(
+        att, wp_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bp_ref[...].astype(jnp.float32)
+    o_ref[0] = (xf + out).astype(o_ref.dtype).reshape(h_, w_, c)
+
+
+def _v5_pack(heads: int, c: int, n_windows: int, n: int) -> int:
+    """Largest pack factor whose f32 score block stays under ~24 MB."""
+    d = c // heads
+    p = 128 // max(d, 1) if d and 128 % d == 0 else 1
+    while p > 1 and (heads % p or n_windows * p * n * n * 4 > 24 * 1024 * 1024):
+        p //= 2
+    return max(p, 1)
+
+
+def pallas_window_block_full(
+    x: jax.Array,          # (B, H, W, C) REAL map (no pad, no roll)
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    wqkv: jax.Array,
+    bqkv: jax.Array,
+    wproj: jax.Array,
+    bproj: jax.Array,
+    bias: jax.Array,       # (heads, N, N)
+    region: Optional[jax.Array],  # (nW, N) int32 or None
+    scale: float,
+    heads: int,
+    ws: int,
+    shift: int = 0,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jax.Array:
+    """v5: whole-map fused half-block.  Returns the REAL-map y."""
+    import os
+
+    interpret = interpret or os.environ.get("IR_ADS_PALLAS_INTERPRET") == "1"
+    b, h_, w_, c = x.shape
+    n = ws * ws
+    hp = _round_up(h_, ws)
+    wp = _round_up(w_, ws)
+    nw = (hp // ws) * (wp // ws)
+    if region is None:
+        region_full = jnp.zeros((nw, n), jnp.int32)
+    else:
+        region_full = region
+    pack = (
+        _v5_pack(heads, c, nw, n) if _packed_enabled() else 1
+    )
+
+    cdt = x.dtype
+    vec = lambda v: v.reshape(1, -1).astype(cdt)  # noqa: E731
+
+    def wspec(*shape):
+        return pl.BlockSpec(
+            shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_kernel_v5, eps=eps, scale=scale, heads=heads, ws=ws,
+            shift=shift, hp=hp, wp=wp, pack=pack,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h_, w_, c), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, h_, w_, c), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            wspec(1, c), wspec(1, c),
+            wspec(c, 3 * c), wspec(1, 3 * c),
+            wspec(c, c), wspec(1, c),
+            wspec(heads, n, n),
+            wspec(nw, n),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h_, w_, c), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((nw, n, c), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        x, vec(ln_scale), vec(ln_bias),
+        wqkv.astype(cdt), vec(bqkv), wproj.astype(cdt), vec(bproj),
+        bias.astype(jnp.float32), region_full,
+    )
+    return out
+
+
+def _block_full_reference(
+    x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, region, scale,
+    heads, ws, shift=0, eps=1e-5,
+):
+    """XLA twin of the v5 kernel (module-path semantics on the real map)."""
+    b, h_, w_, c = x.shape
+    hp = _round_up(h_, ws)
+    wp = _round_up(w_, ws)
+    cdt = x.dtype
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xn = xc * jax.lax.rsqrt(var + eps)
+    xn = (
+        xn * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    ).astype(cdt)
+    xn = jnp.pad(xn, ((0, 0), (0, hp - h_), (0, wp - w_), (0, 0)))
+    if shift:
+        xn = jnp.roll(xn, shift=(-shift, -shift), axis=(1, 2))
+    qkv = (
+        jnp.dot(xn, wqkv.astype(cdt), preferred_element_type=jnp.float32)
+        + bqkv.astype(jnp.float32)
+    ).astype(cdt)
+    att = _map_reference(qkv, bias, region, scale, heads, ws)
+    if shift:
+        att = jnp.roll(att, shift=(shift, shift), axis=(1, 2))
+    att = att[:, :h_, :w_]
+    out = (
+        jnp.dot(att, wproj.astype(cdt), preferred_element_type=jnp.float32)
+        + bproj.astype(jnp.float32)
+    )
+    return (xf + out).astype(cdt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def fused_window_block_full(
+    x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, region, scale,
+    heads, ws, shift=0,
+):
+    """v5 Pallas forward + XLA-recompute backward.  x: (B, H, W, C) REAL
+    map; pad/roll/crop all happen inside the kernel."""
+    return pallas_window_block_full(
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, region,
+        scale, heads, ws, shift=shift,
+    )
+
+
+def _fused_full_fwd(
+    x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, region, scale,
+    heads, ws, shift,
+):
+    out = pallas_window_block_full(
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, region,
+        scale, heads, ws, shift=shift,
+    )
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, region)
+
+
+def _fused_full_bwd(scale, heads, ws, shift, res, g):
+    x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, region = res
+    _, vjp = jax.vjp(
+        lambda *a: _block_full_reference(
+            *a, region, scale, heads, ws, shift=shift
+        ),
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+    )
+    grads = vjp(g)
+    dregion = None if region is None else jnp.zeros_like(region)
+    return (*grads, dregion)
+
+
+fused_window_block_full.defvjp(_fused_full_fwd, _fused_full_bwd)
 
 
 def _block_reference(
