@@ -42,7 +42,9 @@ EST_A100_PYTORCH_FPS = 57.0
 IMAGE = (480, 640)
 TILE = (480, 640)  # reference sliding_predict uses tile = image size (val_mm.py:33)
 NUM_CLASSES = 40  # NYU
-BATCH = 4  # throughput batching across frames (metric is frames/sec/chip)
+# throughput batching across frames (the metric is frames/sec/chip, and the
+# per-kernel fixed costs amortize with frames in flight)
+BATCH = int(os.environ.get("IR_ADS_BENCH_BATCH", "4"))
 ITERS = 10
 
 # (name, {env overrides}) in preference order.  Whole-model v5e sweep

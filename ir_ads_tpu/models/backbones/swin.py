@@ -400,9 +400,60 @@ class SwinBlockAdapter(nn.Module):
             attn_impl = os.environ.get("IR_ADS_SWIN_ATTN", "") or (
                 "pallas" if jax.default_backend() == "tpu" else "xla"
             )
-        if attn_impl in ("pallas4", "pallas5") and not deterministic:
-            # v4/v5 are eval-only (dropout/drop-path need the module path)
+        if (
+            attn_impl in ("pallas4", "pallas5", "pallas6")
+            and not deterministic
+        ):
+            # v4/v5/v6 are eval-only (dropout/drop-path need the module path)
             attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+        if attn_impl == "pallas6":
+            # v6: the ENTIRE block (attention half + tail) as one kernel —
+            # one HBM read of the real x map, one write of the block output.
+            from ir_ads_tpu.ops.pallas_swin import fused_window_block_v6
+
+            b_, h_, w_, cc = x.shape
+            ws = self.window_size
+            shift = ws // 2 if self.shift else 0
+            s1, b1 = _LNParams(cc, name="norm1")()
+            table, wq, bq, wpj, bpj = _ShiftWindowMSAParams(
+                cc, self.num_heads, ws, name="attn"
+            )()
+            scale = (cc // self.num_heads) ** -0.5
+            bias = gather_rel_pos_bias(table, ws, ws)
+            hp = -(-h_ // ws) * ws
+            wp = -(-w_ // ws) * ws
+            region = None
+            if shift > 0:
+                region = jnp.asarray(shift_region_ids(hp, wp, ws, shift))
+            attn_params = (s1, b1, wq, bq, wpj, bpj, bias)
+            ahid = int(cc * self.adapter_ratio)
+            s_ln, b_ln = _LNParams(cc, name="norm2")()
+            w1, bb1, w2, bb2 = _MlpParams(cc, self.ffn_dim, name="ffn")()
+            if sub_mode == "dual":
+                half = b_ // 2
+                pr = _AdapterParams(cc, ahid, name="adapter_rgb")()
+                pd = _AdapterParams(cc, ahid, name="adapter_dte")()
+                return jnp.concatenate(
+                    [
+                        fused_window_block_v6(
+                            x[:half], attn_params,
+                            (s_ln, b_ln, w1, bb1, w2, bb2, *pr),
+                            region, scale, self.num_heads, ws, shift,
+                        ),
+                        fused_window_block_v6(
+                            x[half:], attn_params,
+                            (s_ln, b_ln, w1, bb1, w2, bb2, *pd),
+                            region, scale, self.num_heads, ws, shift,
+                        ),
+                    ],
+                    axis=0,
+                )
+            pa = _AdapterParams(cc, ahid, name=f"adapter_{sub_mode}")()
+            return fused_window_block_v6(
+                x, attn_params, (s_ln, b_ln, w1, bb1, w2, bb2, *pa),
+                region, scale, self.num_heads, ws, shift,
+            )
 
         if attn_impl == "pallas5":
             # v5 whole-map fused half-block (ops/pallas_swin.py): pad,
@@ -1000,6 +1051,39 @@ class DAttentionMM(nn.Module):
             # softmax/PV/rpe, but k/v projections + layouts stay
             out = q * (
                 1.0 + (0.0 * (jnp.sum(k) + jnp.sum(v))).astype(q.dtype)
+            )
+        elif attn_impl == "pallas4" and 2 * n % 8 == 0:
+            # fully-fused: rpe bias built in VMEM scratch INSIDE the
+            # attention kernel — the (B*g, hg, h, 2n, w) bias never touches
+            # HBM and there is one kernel instead of two
+            # (ops/pallas_dscf.dscf_attention_fused)
+            from ir_ads_tpu.ops.pallas_dscf import dscf_attention_fused
+
+            store = self.dtype or jnp.float32
+            gc_ = c // g
+            pos_cat = jnp.concatenate(
+                [pos_x.reshape(b * g, n, 2), pos_y.reshape(b * g, n, 2)],
+                axis=1,
+            )
+            table4 = rpe_table.reshape(g, hg, s1, s2)
+
+            def to_groups(t, mm):  # (B, M, C) -> (B*g, M, gc)
+                return (
+                    t.reshape(b, mm, g, gc_)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(b * g, mm, gc_)
+                )
+
+            qg = to_groups(q.reshape(b, h * w, c), h * w)
+            kg = to_groups(k, 2 * n)
+            vg = to_groups(v, 2 * n)
+            out = dscf_attention_fused(
+                qg, kg, vg, pos_cat, table4, h, w, scale, hg, store
+            )
+            out = (
+                out.reshape(b, g, h * w, gc_)
+                .transpose(0, 2, 1, 3)
+                .reshape(b, h, w, c)
             )
         elif attn_impl == "pallas3" and 2 * n % 8 == 0:
             from ir_ads_tpu.ops.pallas_dscf import dscf_attention_rows

@@ -303,3 +303,214 @@ def _bwd(scale, hg, res, g):
 
 
 dscf_attention.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------------------
+# Fully-fused DSCF: rpe-bias construction + attention in ONE kernel.
+#
+# The rows pipeline (dscf_rpe_bias_rows -> dscf_attention_rows) still moves
+# the (BG, hg, h, M, w) bias through HBM once in each direction (~1.1 GB
+# across the four levels at 480p batch 8) and pays two kernels' scheduling.
+# Here the bias for a band of query rows is built in VMEM scratch with the
+# same hat-weight dots (ops/pallas_dscf_rpe semantics, including the
+# store-dtype rounding) and consumed immediately by the same per-row
+# attention as _dscf_rows_kernel.  The u intermediate is recomputed per
+# band — at level 0 (4 bands) that costs ~0.4 ms of extra MXU against
+# ~1.7 ms of bias traffic plus a whole kernel's scheduling saved.
+# --------------------------------------------------------------------------
+
+
+def _dscf_fused_kernel(
+    pos_ref, table_ref, q_ref, k_ref, v_ref, o_ref, bias_scr, *,
+    scale, hg, rows, w, m, s1, s2, jc, h, store_dtype,
+):
+    """Grid: (BG, h // rows).  Blocks:
+    pos:   (1, M, 2) f32           table: (1, hg, s1, s2) f32
+    q:     (1, rows*w, GC)         k/v:   (1, Mp, GC)
+    o:     (1, rows*w, GC)         bias_scr: (rows, M, w) f32 scratch
+    """
+    band = pl.program_id(1)
+    k = k_ref[0]
+    v = v_ref[0]
+    mp = k.shape[0]
+    gc = k.shape[-1]
+    hc = gc // hg
+    ay = (s1 - 1.0) / (2.0 * (h - 1.0))
+    ax = (s2 - 1.0) / (2.0 * (w - 1.0))
+    # base grids for the hat weights (see ops/pallas_dscf_rpe._rpe_rows_kernel)
+    rr2 = jax.lax.broadcasted_iota(jnp.int32, (rows, s1), 0).astype(jnp.float32)
+    s_2 = jax.lax.broadcasted_iota(jnp.int32, (rows, s1), 1).astype(jnp.float32)
+    t2 = jax.lax.broadcasted_iota(jnp.int32, (s2, w), 0).astype(jnp.float32)
+    c2 = jax.lax.broadcasted_iota(jnp.int32, (s2, w), 1).astype(jnp.float32)
+    r0 = (band * rows).astype(jnp.float32)
+    base_y = ay * (rr2 + r0) - s_2  # (rows, s1)
+    base_x = ax * c2 - t2           # (s2, w)
+
+    for e in range(hg):
+        ke = k[:, e * hc : (e + 1) * hc]
+        ve = v[:, e * hc : (e + 1) * hc]
+        # build this head's bias for the band, j-chunk at a time
+        for j0 in range(0, m, jc):
+            pos_c = pos_ref[0, j0 : j0 + jc]  # (jc, 2)
+            by = (0.5 - 0.5 * pos_c[:, 0:1]) * 0.5 * (s1 - 1.0)  # (jc, 1)
+            bx = (0.5 - 0.5 * pos_c[:, 1:2]) * 0.5 * (s2 - 1.0)
+            wy = jnp.maximum(
+                0.0, 1.0 - jnp.abs(base_y[None] + by[:, :, None])
+            )  # (jc, rows, s1)
+            wxT = jnp.maximum(
+                0.0, 1.0 - jnp.abs(base_x[None] + bx[:, :, None])
+            )  # (jc, s2, w)
+            cdt = store_dtype
+            wy = wy.astype(cdt)
+            wxT = wxT.astype(cdt)
+            u = jax.lax.dot_general(
+                wxT, table_ref[0, e].astype(cdt),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cdt)  # (jc, w, s1)
+            bias_c = jax.lax.dot_general(
+                wy, u,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (jc, rows, w) f32
+            # round to the store dtype (parity with the two-kernel path),
+            # keep f32 in scratch for the adds below
+            bias_scr[:, j0 : j0 + jc, :] = (
+                bias_c.transpose(1, 0, 2).astype(cdt).astype(jnp.float32)
+            )
+        for rr in range(rows):
+            qe = q_ref[0, rr * w : (rr + 1) * w, e * hc : (e + 1) * hc]
+            sT = jax.lax.dot_general(
+                ke,
+                (qe * scale).astype(qe.dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Mp, w) key-major
+            s = sT[:m] + bias_scr[rr]
+            if mp != m:
+                s = jnp.concatenate(
+                    [s, jnp.full((mp - m, w), NEG_INF, jnp.float32)], axis=0
+                )
+            mx = jnp.max(s, axis=0, keepdims=True)
+            ex = jnp.exp(s - mx)
+            den = jnp.sum(ex, axis=0, keepdims=True)
+            o = jax.lax.dot_general(
+                ex.astype(ve.dtype), ve,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o = o / den.reshape(w, 1)
+            o_ref[0, rr * w : (rr + 1) * w, e * hc : (e + 1) * hc] = o.astype(
+                o_ref.dtype
+            )
+
+
+def _pick_band_rows(h: int, w: int, m: int) -> int:
+    """Largest row band with (rows, M, w) f32 scratch <= ~12 MB, rows
+    dividing h and rows*w a sublane multiple."""
+    budget = 12 * 1024 * 1024
+    best = None
+    for rows in range(h, 0, -1):
+        if h % rows or (rows * w) % 8:
+            continue
+        if rows * m * w * 4 <= budget:
+            best = rows
+            break
+    return best or h
+
+
+def pallas_dscf_attention_fused(
+    q: jax.Array,      # (BG, h*w, GC)
+    k: jax.Array,      # (BG, Mp, GC)
+    v: jax.Array,      # (BG, Mp, GC)
+    pos: jax.Array,    # (BG, M, 2) f32 (y, x) in [-1, 1]
+    table: jax.Array,  # (G, hg, S1, S2) f32
+    h: int,
+    w: int,
+    scale: float,
+    hg: int,
+    store_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    bg, hw, gc = q.shape
+    mp = k.shape[1]
+    m = pos.shape[1]
+    g, _, s1, s2 = table.shape
+    assert hw == h * w, (q.shape, h, w)
+    rows = _pick_band_rows(h, w, m)
+    # j-chunk: multiple of 8 (sublane-aligned scratch stores) dividing M
+    jc = None
+    for cand in (120, 80, 40, 24, 16, 8):
+        if m % cand == 0:
+            jc = cand
+            break
+    jc = jc or m
+
+    out = pl.pallas_call(
+        functools.partial(
+            _dscf_fused_kernel, scale=scale, hg=hg, rows=rows, w=w, m=m,
+            s1=s1, s2=s2, jc=jc, h=h, store_dtype=store_dtype,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bg, hw, gc), q.dtype),
+        grid=(bg, h // rows),
+        in_specs=[
+            pl.BlockSpec((1, m, 2), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hg, s1, s2), lambda i, j, g=g: (i % g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows * w, gc), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, gc), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, gc), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows * w, gc), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((rows, m, w), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret or _env_interpret(),
+    )(pos, table, q, k, v)
+    return out
+
+
+def dscf_fused_reference(q, k, v, pos, table, h, w, scale, hg,
+                         store_dtype=jnp.bfloat16):
+    """XLA twin: the rows-layout builder reference + rows attention
+    reference (identical rounding points)."""
+    from ir_ads_tpu.ops.pallas_dscf_rpe import dscf_rpe_bias_rows_reference
+
+    bias = dscf_rpe_bias_rows_reference(pos, table, h, w, store_dtype)
+    return dscf_rows_reference(q, k, v, bias, scale, hg)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def dscf_attention_fused(q, k, v, pos, table, h, w, scale, hg,
+                         store_dtype=jnp.bfloat16):
+    """Fused builder+attention forward + XLA-recompute backward."""
+    return pallas_dscf_attention_fused(
+        q, k, v, pos, table, h, w, scale, hg, store_dtype=store_dtype
+    )
+
+
+def _dscf_fused_fwd(q, k, v, pos, table, h, w, scale, hg, store_dtype):
+    out = pallas_dscf_attention_fused(
+        q, k, v, pos, table, h, w, scale, hg, store_dtype=store_dtype
+    )
+    return out, (q, k, v, pos, table)
+
+
+def _dscf_fused_bwd(h, w, scale, hg, store_dtype, res, g):
+    q, k, v, pos, table = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, d, e: dscf_fused_reference(
+            a, b, c, d, e, h, w, scale, hg, store_dtype
+        ),
+        q, k, v, pos, table,
+    )
+    return vjp(g)
+
+
+dscf_attention_fused.defvjp(_dscf_fused_fwd, _dscf_fused_bwd)

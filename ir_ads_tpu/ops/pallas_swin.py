@@ -1025,6 +1025,252 @@ def _attn_kernel_v5(
     o_ref[0] = (xf + out).astype(o_ref.dtype).reshape(h_, w_, c)
 
 
+def _attn_kernel_v6(
+    x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
+    region_ref, g2_ref, b2_ref, w1_ref, b1_ref, w2_ref, b2f_ref,
+    aw1_ref, ab1_ref, aw2_ref, ab2_ref, o_ref, outw_ref, *,
+    eps, scale, heads, ws, shift, hp, wp, pack, adapter_scale,
+):
+    """v6 = v5 + the block tail: the ENTIRE Swin block (LN1 + qkv + W/SW-MSA
+    + proj + residual + LN2 + FFN + adapter + residual) in one kernel — one
+    HBM read of the real x map, one write of the real block output.  The
+    FFN hidden is processed in row chunks so its f32 (rows, 4C) buffer
+    stays bounded regardless of map size."""
+    x = x_ref[0]  # (H, W, C)
+    h_, w_, c = x.shape
+    n = ws * ws
+    nwin_w = wp // ws
+    cdt = wqkv_ref.dtype
+
+    xf = x.reshape(h_ * w_, c).astype(jnp.float32)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    xn = xc * jax.lax.rsqrt(var + eps)
+    xn = xn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    xn = xn.astype(cdt).reshape(h_, w_, c)
+    if wp != w_:
+        xn = jnp.concatenate([xn, jnp.zeros((h_, wp - w_, c), cdt)], axis=1)
+    if hp != h_:
+        xn = jnp.concatenate([xn, jnp.zeros((hp - h_, wp, c), cdt)], axis=0)
+    if shift:
+        xn = jnp.concatenate([xn[shift:], xn[:shift]], axis=0)
+        xn = jnp.concatenate([xn[:, shift:], xn[:, :shift]], axis=1)
+
+    qkv = jax.lax.dot_general(
+        xn.reshape(hp * wp, c), wqkv_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[...].astype(jnp.float32)
+    qkv = qkv.astype(cdt)
+    qkvw = (
+        qkv.reshape(hp // ws, ws, nwin_w, ws, 3 * c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape((hp // ws) * nwin_w, n, 3 * c)
+    )
+    region = region_ref[...]
+    neq = region[:, :, None] != region[:, None, :]
+    _heads_attention(
+        qkvw, bias_ref[...], neq, outw_ref,
+        scale=scale, heads=heads, cdt=cdt, packed=pack,
+    )
+    att = (
+        outw_ref[...]
+        .reshape(hp // ws, nwin_w, ws, ws, c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(hp, wp, c)
+    )
+    if shift:
+        att = jnp.concatenate([att[hp - shift:], att[:hp - shift]], axis=0)
+        att = jnp.concatenate(
+            [att[:, wp - shift:], att[:, :wp - shift]], axis=1
+        )
+    att = att[:h_, :w_].reshape(h_ * w_, c)
+    y = xf + (
+        jax.lax.dot_general(
+            att, wp_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bp_ref[...].astype(jnp.float32)
+    )  # (HW, C) f32 — the attention-half residual
+
+    # ---- block tail (same math as ops/pallas_mlp._tail_kernel), chunked --
+    hw = h_ * w_
+    chunk = 2048 if hw > 2048 else hw
+    outs = []
+    for r0 in range(0, hw, chunk):
+        r1 = min(r0 + chunk, hw)
+        yb = y[r0:r1]
+        mu2 = jnp.mean(yb, axis=1, keepdims=True)
+        yc = yb - mu2
+        var2 = jnp.mean(yc * yc, axis=1, keepdims=True)
+        yn = yc * jax.lax.rsqrt(var2 + eps)
+        yn = (
+            yn * g2_ref[...].astype(jnp.float32)
+            + b2_ref[...].astype(jnp.float32)
+        ).astype(cdt)
+        hdn = jax.lax.dot_general(
+            yn, w1_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[...].astype(jnp.float32)
+        hdn = jax.nn.gelu(hdn, approximate=True).astype(cdt)
+        ffn = jax.lax.dot_general(
+            hdn, w2_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2f_ref[...].astype(jnp.float32)
+        a = jax.lax.dot_general(
+            yb.astype(cdt), aw1_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + ab1_ref[...].astype(jnp.float32)
+        a = jnp.maximum(a, 0.0).astype(cdt)
+        a = jax.lax.dot_general(
+            a, aw2_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + ab2_ref[...].astype(jnp.float32)
+        outs.append((yb + ffn + adapter_scale * a).astype(o_ref.dtype))
+    o_ref[0] = (
+        outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    ).reshape(h_, w_, c)
+
+
+def pallas_window_block_v6(
+    x: jax.Array,          # (B, H, W, C) REAL map
+    attn_params,           # (ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias)
+    tail_params,           # (ln2_s, ln2_b, w1, b1, w2, b2, aw1, ab1, aw2, ab2)
+    region: Optional[jax.Array],
+    scale: float,
+    heads: int,
+    ws: int,
+    shift: int = 0,
+    eps: float = 1e-5,
+    adapter_scale: float = 0.5,
+    interpret: bool = False,
+) -> jax.Array:
+    """v6: one kernel per whole Swin block (attention half + tail)."""
+    import os
+
+    interpret = interpret or os.environ.get("IR_ADS_PALLAS_INTERPRET") == "1"
+    b, h_, w_, c = x.shape
+    n = ws * ws
+    hp = _round_up(h_, ws)
+    wp = _round_up(w_, ws)
+    nw = (hp // ws) * (wp // ws)
+    region_full = (
+        jnp.zeros((nw, n), jnp.int32) if region is None else region
+    )
+    pack = _v5_pack(heads, c, nw, n) if _packed_enabled() else 1
+
+    ln_s, ln_b, wqkv, bqkv, wproj, bproj, bias = attn_params
+    g2, b2, w1, b1, w2, b2f, aw1, ab1, aw2, ab2 = tail_params
+    hidden = w1.shape[1]
+    ca = aw1.shape[1]
+    cdt = x.dtype
+    vec = lambda v: v.reshape(1, -1).astype(cdt)  # noqa: E731
+
+    def wspec(*shape):
+        return pl.BlockSpec(
+            shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_kernel_v6, eps=eps, scale=scale, heads=heads, ws=ws,
+            shift=shift, hp=hp, wp=wp, pack=pack,
+            adapter_scale=adapter_scale,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h_, w_, c), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, h_, w_, c), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            wspec(1, c), wspec(1, c),
+            wspec(c, 3 * c), wspec(1, 3 * c),
+            wspec(c, c), wspec(1, c),
+            wspec(heads, n, n),
+            wspec(nw, n),
+            wspec(1, c), wspec(1, c),
+            wspec(c, hidden), wspec(1, hidden),
+            wspec(hidden, c), wspec(1, c),
+            wspec(c, ca), wspec(1, ca),
+            wspec(ca, c), wspec(1, c),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h_, w_, c), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((nw, n, c), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        x, vec(ln_s), vec(ln_b),
+        wqkv.astype(cdt), vec(bqkv), wproj.astype(cdt), vec(bproj),
+        bias.astype(jnp.float32), region_full,
+        vec(g2), vec(b2),
+        w1.astype(cdt), vec(b1), w2.astype(cdt), vec(b2f),
+        aw1.astype(cdt), vec(ab1), aw2.astype(cdt), vec(ab2),
+    )
+    return out
+
+
+def _block_v6_reference(
+    x, attn_params, tail_params, region, scale, heads, ws, shift=0,
+    eps=1e-5, adapter_scale=0.5,
+):
+    """XLA twin of v6: the v5 twin followed by the tail twin."""
+    from ir_ads_tpu.ops.pallas_mlp import block_tail_reference
+
+    y = _block_full_reference(
+        x, *attn_params, region, scale, heads, ws, shift=shift, eps=eps
+    )
+    b, h_, w_, c = y.shape
+    out = block_tail_reference(
+        y.reshape(-1, c), *tail_params, eps=eps, adapter_scale=adapter_scale
+    )
+    return out.reshape(b, h_, w_, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def fused_window_block_v6(
+    x, attn_params, tail_params, region, scale, heads, ws, shift=0,
+):
+    """v6 Pallas forward + XLA-recompute backward."""
+    return pallas_window_block_v6(
+        x, attn_params, tail_params, region, scale, heads, ws, shift=shift
+    )
+
+
+def _fused_v6_fwd(x, attn_params, tail_params, region, scale, heads, ws,
+                  shift):
+    out = pallas_window_block_v6(
+        x, attn_params, tail_params, region, scale, heads, ws, shift=shift
+    )
+    return out, (x, attn_params, tail_params, region)
+
+
+def _fused_v6_bwd(scale, heads, ws, shift, res, g):
+    x, attn_params, tail_params, region = res
+    _, vjp = jax.vjp(
+        lambda xx, ap, tp: _block_v6_reference(
+            xx, ap, tp, region, scale, heads, ws, shift=shift
+        ),
+        x, attn_params, tail_params,
+    )
+    dx, dap, dtp = vjp(g)
+    dregion = None if region is None else jnp.zeros_like(region)
+    return dx, dap, dtp, dregion
+
+
+fused_window_block_v6.defvjp(_fused_v6_fwd, _fused_v6_bwd)
+
+
 def _v5_pack(heads: int, c: int, n_windows: int, n: int) -> int:
     """Largest pack factor whose f32 score block stays under ~24 MB."""
     d = c // heads

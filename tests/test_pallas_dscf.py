@@ -98,3 +98,38 @@ def test_module_pallas_path_matches_xla_path():
         )
     finally:
         pd.pallas_dscf_attention = orig
+
+
+def test_fused_builder_attention_matches_two_kernel_path():
+    """dscf_attention_fused == rows builder + rows attention (same rounding:
+    bias built with bf16 operands, rounded to the store dtype)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ir_ads_tpu.ops.pallas_dscf import (
+        dscf_fused_reference,
+        pallas_dscf_attention_fused,
+    )
+
+    bg, h, w, gc, hg = 2, 8, 16, 16, 2
+    m = 24
+    s1, s2 = 15, 19
+    ks = jax.random.split(jax.random.PRNGKey(2), 6)
+    q = jax.random.normal(ks[0], (bg, h * w, gc), jnp.float32)
+    k = jax.random.normal(ks[1], (bg, m, gc), jnp.float32)
+    v = jax.random.normal(ks[2], (bg, m, gc), jnp.float32)
+    pos = jax.random.uniform(ks[3], (bg, m, 2), jnp.float32, -1.0, 1.0)
+    table = jax.random.normal(ks[4], (2, hg, s1, s2), jnp.float32) * 0.1
+    scale = (gc // hg) ** -0.5
+
+    out = pallas_dscf_attention_fused(
+        q, k, v, pos, table, h, w, scale, hg, store_dtype=jnp.float32,
+        interpret=True,
+    )
+    ref = dscf_fused_reference(
+        q, k, v, pos, table, h, w, scale, hg, store_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )

@@ -80,3 +80,70 @@ def test_v5_module_path_equivalence():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
+
+
+def _tail_params_v6(key, c, hidden, ca):
+    ks = jax.random.split(key, 10)
+    r = lambda k, *s: jax.random.normal(k, s, jnp.float32) * 0.05  # noqa
+    return (
+        1.0 + r(ks[0], c), r(ks[1], c),
+        r(ks[2], c, hidden), r(ks[3], hidden),
+        r(ks[4], hidden, c), r(ks[5], c),
+        r(ks[6], c, ca), r(ks[7], ca),
+        r(ks[8], ca, c), r(ks[9], c),
+    )
+
+
+@pytest.mark.parametrize("h,w,shift", [(8, 8, 0), (7, 6, 2)])
+def test_v6_matches_reference(h, w, shift):
+    from ir_ads_tpu.ops.pallas_swin import (
+        _block_v6_reference,
+        pallas_window_block_v6,
+    )
+
+    ws, c, heads = 4, 32, 2
+    attn = tuple(_params(jax.random.PRNGKey(8), c, heads, ws))
+    tail = _tail_params_v6(jax.random.PRNGKey(9), c, 64, 4)
+    x = jax.random.normal(jax.random.PRNGKey(10), (2, h, w, c), jnp.float32)
+    hp, wp = -(-h // ws) * ws, -(-w // ws) * ws
+    region = (
+        jnp.asarray(shift_region_ids(hp, wp, ws, shift)) if shift else None
+    )
+    scale = (c // heads) ** -0.5
+    out = pallas_window_block_v6(
+        x, attn, tail, region, scale, heads, ws, shift=shift, interpret=True
+    )
+    ref = _block_v6_reference(x, attn, tail, region, scale, heads, ws,
+                              shift=shift)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("sub_mode,batch", [("rgb", 2), ("dual", 4)])
+def test_v6_module_path_equivalence(sub_mode, batch):
+    import os
+
+    from ir_ads_tpu.models.backbones.swin import SwinBlockAdapter
+
+    block = SwinBlockAdapter(
+        dim=32, num_heads=2, ffn_dim=64, window_size=4, shift=True,
+        dtype=None,
+    )
+    x = jax.random.normal(
+        jax.random.PRNGKey(7), (batch, 7, 6, 32), jnp.float32
+    )
+    v = block.init({"params": jax.random.PRNGKey(0)}, x, sub_mode, True)
+    os.environ["IR_ADS_PALLAS_INTERPRET"] = "1"
+    os.environ["IR_ADS_FFN"] = "xla"
+    try:
+        ref = block.apply(v, x, sub_mode, True)
+        os.environ["IR_ADS_SWIN_ATTN"] = "pallas6"
+        out = block.apply(v, x, sub_mode, True)
+    finally:
+        os.environ.pop("IR_ADS_SWIN_ATTN", None)
+        os.environ.pop("IR_ADS_PALLAS_INTERPRET", None)
+        os.environ.pop("IR_ADS_FFN", None)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
