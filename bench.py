@@ -53,10 +53,24 @@ ITERS = 10
 # consumed with zero HBM relayout, transposed-score attention kernel) wins
 # at every level and is the production config (see DAttentionMM notes).
 CONFIGS = [
+    # r5: whole-block v6 kernels at the small-map stages (2-3; the whole
+    # padded map + packed scores fit VMEM, zero XLA glue per block), banded
+    # v4 half-block kernels at stages 0-1 (whole-map kernels there blow up
+    # the remote-compile payload), packed-head dots everywhere, fused
+    # tails, pallas3 DSCF.  In-context v5e B=8 forward: 79.0 ms vs 86.3 for
+    # the r2 config (dev/ablate_full sweeps 2026-08-18).
+    (
+        "r5",
+        {
+            "IR_ADS_SWIN_ATTN": "pallas4,pallas4,pallas6,pallas6",
+            "IR_ADS_DSCF_ATTN": "pallas3",
+            "IR_ADS_FFN": "fused",
+            "IR_ADS_SWIN_PACKED": "1",
+        },
+    ),
     # r4: v4 half-block kernels with PACKED-HEAD attention dots (4 heads
     # per full-K MXU dot, bitwise-equal; see ops/pallas_swin._heads_attention)
-    # + fused block tails + pallas3 DSCF.  In-context v5e: 81.1 ms B=8
-    # forward vs 86.3 for the r2 config (dev/ablate_full sweeps r2026-08-18).
+    # + fused block tails + pallas3 DSCF.  81.1 ms B=8 forward.
     (
         "r4",
         {
@@ -224,11 +238,46 @@ def run_config(env: dict) -> dict:
         float(many(ITERS, variables, rgb, dte))
         t_long = time.time() - t0
         dt = (t_long - t_short) / (ITERS - 2)
+
+        # bare-forward slope in the SAME session: separates the sliding/
+        # flip wrapper cost from relay session variance (the two have been
+        # conflated across separate processes before)
+        rgb8 = jnp.concatenate([rgb, rgb[:, :, ::-1]], axis=0)
+        dte8 = jnp.concatenate([dte, dte[:, :, ::-1]], axis=0)
+
+        @functools.partial(jax.jit, static_argnums=(0,))
+        def many_fwd(n, v, r, d):
+            def body(carry, _):
+                r, d, _ = carry
+                out = model.apply(v, r, d, train=False)[0]
+                s = jnp.sum(out).astype(jnp.float32)
+                z = (s * 0.0).astype(r.dtype)
+                return (rgb8 + z, dte8 + z, s), None
+
+            (_, _, s_last), _ = jax.lax.scan(
+                body, (r, d, jnp.float32(0)), None, length=n
+            )
+            return s_last
+
+        fwd_ms = None
+        try:
+            float(many_fwd(2, variables, rgb8, dte8))
+            float(many_fwd(ITERS, variables, rgb8, dte8))
+            t0 = time.time()
+            float(many_fwd(2, variables, rgb8, dte8))
+            ts2 = time.time() - t0
+            t0 = time.time()
+            float(many_fwd(ITERS, variables, rgb8, dte8))
+            tl2 = time.time() - t0
+            fwd_ms = round(1000.0 * (tl2 - ts2) / (ITERS - 2), 1)
+        except Exception:
+            pass
         return {
             "fps": BATCH / dt,
             "init_s": round(init_s, 1),
             "compile_s": round(compile_s, 1),
             "p50_latency_ms": round(1000.0 * dt, 1),
+            "forward_ms": fwd_ms,
         }
     finally:
         for k in env:

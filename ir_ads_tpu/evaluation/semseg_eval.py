@@ -206,6 +206,10 @@ def make_sliding_window_fn(
         logits = logits.reshape(n_tiles, b, th, tw, num_classes).astype(
             jnp.float32
         )
+        if n_tiles == 1:
+            # tile == image (the reference default): the overlap-add is a
+            # no-op divide-by-one — skip its ~1.2 GB of f32 round-trips
+            return logits[0][:, :h, :w]
         total = jnp.zeros((b, h + pad_h, w + pad_w, num_classes), jnp.float32)
         count = jnp.zeros((h + pad_h, w + pad_w, 1), jnp.float32)
         for i, (y, x) in enumerate(offsets):
@@ -269,6 +273,10 @@ def _make_sliding_window_split(
         logits = logits.reshape(n_tiles, b, th, tw, num_classes).astype(
             jnp.float32
         )
+        if n_tiles == 1:
+            # tile == image (the reference default): the overlap-add is a
+            # no-op divide-by-one — skip its ~1.2 GB of f32 round-trips
+            return logits[0][:, :h, :w]
         total = jnp.zeros((b, h + pad_h, w + pad_w, num_classes), jnp.float32)
         count = jnp.zeros((h + pad_h, w + pad_w, 1), jnp.float32)
         for i, (y, x) in enumerate(offsets):

@@ -400,6 +400,15 @@ class SwinBlockAdapter(nn.Module):
             attn_impl = os.environ.get("IR_ADS_SWIN_ATTN", "") or (
                 "pallas" if jax.default_backend() == "tpu" else "xla"
             )
+            if "," in attn_impl:
+                # per-stage list keyed by block width (stage i has dim
+                # embed * 2^i), e.g. "pallas4,pallas4,pallas6,pallas6":
+                # the whole-map v5/v6 kernels blow up the remote-compile
+                # payload at the big-map stages (0-1) but win at 2-3
+                parts = [p.strip() for p in attn_impl.split(",")]
+                idx = max(0, min(int(self.dim // 128).bit_length() - 1,
+                                 len(parts) - 1))
+                attn_impl = parts[idx]
         if (
             attn_impl in ("pallas4", "pallas5", "pallas6")
             and not deterministic

@@ -346,23 +346,20 @@ def _dscf_fused_kernel(
     base_y = ay * (rr2 + r0) - s_2  # (rows, s1)
     base_x = ax * c2 - t2           # (s2, w)
 
-    for e in range(hg):
-        ke = k[:, e * hc : (e + 1) * hc]
-        ve = v[:, e * hc : (e + 1) * hc]
-        # build this head's bias for the band, j-chunk at a time
-        for j0 in range(0, m, jc):
-            pos_c = pos_ref[0, j0 : j0 + jc]  # (jc, 2)
-            by = (0.5 - 0.5 * pos_c[:, 0:1]) * 0.5 * (s1 - 1.0)  # (jc, 1)
-            bx = (0.5 - 0.5 * pos_c[:, 1:2]) * 0.5 * (s2 - 1.0)
-            wy = jnp.maximum(
-                0.0, 1.0 - jnp.abs(base_y[None] + by[:, :, None])
-            )  # (jc, rows, s1)
-            wxT = jnp.maximum(
-                0.0, 1.0 - jnp.abs(base_x[None] + bx[:, :, None])
-            )  # (jc, s2, w)
-            cdt = store_dtype
-            wy = wy.astype(cdt)
-            wxT = wxT.astype(cdt)
+    # build the band's bias for ALL heads, j-chunk at a time (the hat
+    # weights are head-independent — build them once per chunk)
+    for j0 in range(0, m, jc):
+        pos_c = pos_ref[0, j0 : j0 + jc]  # (jc, 2)
+        by = (0.5 - 0.5 * pos_c[:, 0:1]) * 0.5 * (s1 - 1.0)  # (jc, 1)
+        bx = (0.5 - 0.5 * pos_c[:, 1:2]) * 0.5 * (s2 - 1.0)
+        cdt = store_dtype
+        wy = jnp.maximum(
+            0.0, 1.0 - jnp.abs(base_y[None] + by[:, :, None])
+        ).astype(cdt)  # (jc, rows, s1)
+        wxT = jnp.maximum(
+            0.0, 1.0 - jnp.abs(base_x[None] + bx[:, :, None])
+        ).astype(cdt)  # (jc, s2, w)
+        for e in range(hg):
             u = jax.lax.dot_general(
                 wxT, table_ref[0, e].astype(cdt),
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -375,9 +372,12 @@ def _dscf_fused_kernel(
             )  # (jc, rows, w) f32
             # round to the store dtype (parity with the two-kernel path),
             # keep f32 in scratch for the adds below
-            bias_scr[:, j0 : j0 + jc, :] = (
+            bias_scr[e, :, j0 : j0 + jc, :] = (
                 bias_c.transpose(1, 0, 2).astype(cdt).astype(jnp.float32)
             )
+    for e in range(hg):
+        ke = k[:, e * hc : (e + 1) * hc]
+        ve = v[:, e * hc : (e + 1) * hc]
         for rr in range(rows):
             qe = q_ref[0, rr * w : (rr + 1) * w, e * hc : (e + 1) * hc]
             sT = jax.lax.dot_general(
@@ -386,7 +386,7 @@ def _dscf_fused_kernel(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (Mp, w) key-major
-            s = sT[:m] + bias_scr[rr]
+            s = sT[:m] + bias_scr[e, rr]
             if mp != m:
                 s = jnp.concatenate(
                     [s, jnp.full((mp - m, w), NEG_INF, jnp.float32)], axis=0
@@ -405,15 +405,15 @@ def _dscf_fused_kernel(
             )
 
 
-def _pick_band_rows(h: int, w: int, m: int) -> int:
-    """Largest row band with (rows, M, w) f32 scratch <= ~12 MB, rows
+def _pick_band_rows(h: int, w: int, m: int, hg: int) -> int:
+    """Largest row band with (hg, rows, M, w) f32 scratch <= ~24 MB, rows
     dividing h and rows*w a sublane multiple."""
-    budget = 12 * 1024 * 1024
+    budget = 24 * 1024 * 1024
     best = None
     for rows in range(h, 0, -1):
         if h % rows or (rows * w) % 8:
             continue
-        if rows * m * w * 4 <= budget:
+        if hg * rows * m * w * 4 <= budget:
             best = rows
             break
     return best or h
@@ -437,7 +437,7 @@ def pallas_dscf_attention_fused(
     m = pos.shape[1]
     g, _, s1, s2 = table.shape
     assert hw == h * w, (q.shape, h, w)
-    rows = _pick_band_rows(h, w, m)
+    rows = _pick_band_rows(h, w, m, hg)
     # j-chunk: multiple of 8 (sublane-aligned scratch stores) dividing M
     jc = None
     for cand in (120, 80, 40, 24, 16, 8):
@@ -467,7 +467,7 @@ def pallas_dscf_attention_fused(
         ],
         out_specs=pl.BlockSpec((1, rows * w, gc), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((rows, m, w), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((hg, rows, m, w), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
