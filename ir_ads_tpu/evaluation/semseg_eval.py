@@ -146,7 +146,12 @@ def make_sliding_window_fn(
     xs = _tile_grid(w, tw, stride_w)
     offsets = [(y, x) for y in ys for x in xs]
     n_tiles = len(offsets)
-    chunk = tile_batch or n_tiles
+    # chunk is measured in tile-IMAGES (n_tiles * b of them).  The default
+    # must cover at least one full input batch: with n_tiles == 1 (tile ==
+    # image, the reference default) a default of n_tiles would split the
+    # batch into b sequential B=1 forwards through lax.map — measured
+    # +14 ms on the v5e bench vs one batched forward.
+    chunk = tile_batch
 
     if not fuse:
         # Three small XLA programs instead of one monolith: tile-extract,
@@ -187,19 +192,24 @@ def make_sliding_window_fn(
                 out = out[:m] + out[m:, :, ::-1]
             return out
 
-        if chunk >= n_tiles * b:
+        eff_chunk = chunk or max(n_tiles, b)
+        if eff_chunk >= n_tiles * b:
             logits = run(tiles_rgb, tiles_dte)
         else:
-            n_chunks = -(-(n_tiles * b) // chunk)
-            pad_to = n_chunks * chunk
+            n_chunks = -(-(n_tiles * b) // eff_chunk)
+            pad_to = n_chunks * eff_chunk
             tiles_rgb = jnp.pad(
                 tiles_rgb, ((0, pad_to - n_tiles * b), (0, 0), (0, 0), (0, 0))
             )
             tiles_dte = jnp.pad(
                 tiles_dte, ((0, pad_to - n_tiles * b), (0, 0), (0, 0), (0, 0))
             )
-            tr = tiles_rgb.reshape(n_chunks, chunk, th, tw, rgb.shape[-1])
-            td = tiles_dte.reshape(n_chunks, chunk, th, tw, dte.shape[-1])
+            tr = tiles_rgb.reshape(
+                n_chunks, eff_chunk, th, tw, rgb.shape[-1]
+            )
+            td = tiles_dte.reshape(
+                n_chunks, eff_chunk, th, tw, dte.shape[-1]
+            )
             logits = jax.lax.map(lambda ab: run(ab[0], ab[1]), (tr, td))
             logits = logits.reshape(pad_to, th, tw, num_classes)[: n_tiles * b]
 

@@ -187,6 +187,106 @@ def _dscf_rows_kernel(
             )
 
 
+def _dscf_rows_kernel_packed(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, hg, tile_r, w, m
+):
+    """Packed-slot variant of the rows kernel.
+
+    Every DSCF head has hc = dim/heads = 8 channels at EVERY level (the
+    hidden dim and head count double together), so the per-(head, row)
+    dots of ``_dscf_rows_kernel`` contract K=8 — 1/16 of the MXU's K lanes
+    — and each grid step issues 2*hg*tile_r tiny dots (measured ~8.9 ms
+    in-context vs a ~1.5 ms bound).  Same trick as
+    ops/pallas_swin._heads_attention, generalized across (row, head)
+    slots: pack p = pr*hg slots per dot with a block-diagonal Q
+
+        sT_tall (Mp, p*w) = K_cat (Mp, p*hc) @ Q_bd (p*w, p*hc)^T
+
+    where K_cat = tile(k, (1, pr)) lays slot j's key channels at lane
+    block j (slot order row-major/head-minor) and Q_bd zeroes everything
+    outside slot j's channel slice — the zero lanes contribute exact 0.0
+    to the f32 accumulator, so scores are bitwise the per-slot dots.  The
+    PV dot computes all slots at once the same way; diagonal (slot, slot)
+    blocks are extracted with a constant mask + sum over slots, which for
+    row-major slot order lands each row's hg head outputs contiguously —
+    a clean (w, gc) store per row.  Softmax normalization is applied to
+    the probabilities BEFORE the PV dot (one broadcast multiply), which
+    differs from the unpacked kernel's post-division by at most an ulp.
+    """
+    k = k_ref[0]  # (Mp, GC)
+    v = v_ref[0]
+    mp = k.shape[0]
+    gc = k.shape[-1]
+    hc = gc // hg
+    cdt = k.dtype
+    # row-group size: keep p*hc around the MXU K width and the f32 score
+    # matrix (Mp, p*w) bounded
+    pr = max(1, min(tile_r, 128 // gc if gc <= 128 else 1))
+    for r0 in range(0, tile_r, pr):
+        prg = min(pr, tile_r - r0)
+        p = prg * hg
+        kc = jnp.tile(k, (1, prg))  # (Mp, p*hc)
+        vc = jnp.tile(v, (1, prg))
+        pieces = []
+        bias_cols = []
+        for j in range(p):
+            rr, e = r0 + j // hg, j % hg
+            qe = q_ref[0, rr * w : (rr + 1) * w, e * hc : (e + 1) * hc]
+            qs = (qe * scale).astype(qe.dtype)  # same rounding as unpacked
+            zl = jnp.zeros((w, j * hc), cdt)
+            zr = jnp.zeros((w, (p - 1 - j) * hc), cdt)
+            pieces.append(
+                qs if p == 1 else jnp.concatenate(
+                    [a for a in (zl, qs, zr) if a.shape[1]], axis=1
+                )
+            )
+            bias_cols.append(bias_ref[0, e, rr].astype(jnp.float32))
+        q_bd = pieces[0] if p == 1 else jnp.concatenate(pieces, axis=0)
+        bias_tall = (
+            bias_cols[0] if p == 1 else jnp.concatenate(bias_cols, axis=1)
+        )  # (M, p*w)
+        sT = jax.lax.dot_general(
+            kc, q_bd,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Mp, p*w) f32
+        s = sT[:m] + bias_tall
+        if mp != m:
+            s = jnp.concatenate(
+                [s, jnp.full((mp - m, p * w), NEG_INF, jnp.float32)], axis=0
+            )
+        mx = jnp.max(s, axis=0, keepdims=True)
+        ex = jnp.exp(s - mx)
+        den = jnp.sum(ex, axis=0, keepdims=True)  # (1, p*w)
+        exn = (ex / den).astype(cdt)
+        o_full = jax.lax.dot_general(
+            exn, vc,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (p*w, p*hc) f32
+        if p == 1:
+            red = o_full
+        else:
+            osel = (
+                jax.lax.broadcasted_iota(jnp.int32, (p, 1, p * hc), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (p, 1, p * hc), 2)
+                // hc
+            ).astype(jnp.float32)
+            red = jnp.sum(o_full.reshape(p, w, p * hc) * osel, axis=0)
+        # (w, p*hc): row rr's hg head outputs sit at lanes
+        # [(rr-r0)*gc : (rr-r0+1)*gc] (row-major/head-minor slot order)
+        for rr in range(r0, r0 + prg):
+            o_ref[0, rr * w : (rr + 1) * w, :] = red[
+                :, (rr - r0) * gc : (rr - r0 + 1) * gc
+            ].astype(o_ref.dtype)
+
+
+def _packed_rows_enabled() -> bool:
+    import os
+
+    return os.environ.get("IR_ADS_DSCF_PACKED", "0") not in ("", "0")
+
+
 def _pick_tile_r(h: int, w: int) -> int:
     """Largest row tile <= 8 whose q/o block passes the Mosaic block rule.
 
@@ -211,16 +311,20 @@ def pallas_dscf_attention_rows(
     scale: float,
     hg: int,
     interpret: bool = False,
+    packed: Optional[bool] = None,
 ) -> jax.Array:
     bg, hw, gc = q.shape
     mp = k.shape[1]
     _, _, h, m, w = bias.shape
     assert hw == h * w and m <= mp, (q.shape, k.shape, bias.shape)
     tile_r = _pick_tile_r(h, w)
+    if packed is None:
+        packed = _packed_rows_enabled()
+    kernel = _dscf_rows_kernel_packed if packed else _dscf_rows_kernel
 
     out = pl.pallas_call(
         functools.partial(
-            _dscf_rows_kernel, scale=scale, hg=hg, tile_r=tile_r, w=w, m=m
+            kernel, scale=scale, hg=hg, tile_r=tile_r, w=w, m=m
         ),
         out_shape=jax.ShapeDtypeStruct((bg, hw, gc), q.dtype),
         grid=(bg, h // tile_r),

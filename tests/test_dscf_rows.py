@@ -59,11 +59,12 @@ def test_pick_tile_r_respects_block_rule():
         assert (t * w) % 8 == 0 or t == h
 
 
+@pytest.mark.parametrize("packed", [False, True])
 @pytest.mark.parametrize(
     "m,mp,shape",
     [(16, 16, None), (12, 16, None), (16, 16, (2, 15, 20, 16, 2))],
 )
-def test_rows_attention_kernel_matches_reference(m, mp, shape):
+def test_rows_attention_kernel_matches_reference(m, mp, shape, packed):
     bg, h, w, gc, hg = shape or (2, 8, 16, 16, 2)
     scale = 0.25
     ks = jax.random.split(jax.random.PRNGKey(1), 4)
@@ -77,10 +78,33 @@ def test_rows_attention_kernel_matches_reference(m, mp, shape):
 
     want = dscf_rows_reference(q, k, v, bias, scale, hg)
     got = pallas_dscf_attention_rows(
-        q, k, v, bias, scale, hg, interpret=True
+        q, k, v, bias, scale, hg, interpret=True, packed=packed
     )
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_rows_attention_packed_matches_unpacked_bf16():
+    """The packed kernel at the production dtype: scores are bitwise the
+    per-slot dots (block-diag zero lanes contribute exact 0.0), so packed
+    vs unpacked differ only by the pre- vs post-softmax normalization
+    order (~1 ulp)."""
+    bg, h, w, gc, hg, m = 2, 12, 16, 16, 2, 24
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    q = jax.random.normal(ks[0], (bg, h * w, gc), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (bg, m, gc), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (bg, m, gc), jnp.bfloat16)
+    bias = jax.random.normal(ks[3], (bg, hg, h, m, w), jnp.bfloat16)
+    a = pallas_dscf_attention_rows(
+        q, k, v, bias, 0.25, hg, interpret=True, packed=False
+    )
+    b = pallas_dscf_attention_rows(
+        q, k, v, bias, 0.25, hg, interpret=True, packed=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(a, np.float32), np.asarray(b, np.float32),
+        rtol=1e-2, atol=1e-2,
     )
 
 
