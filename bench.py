@@ -57,8 +57,10 @@ CONFIGS = [
     # padded map + packed scores fit VMEM, zero XLA glue per block), banded
     # v4 half-block kernels at stages 0-1 (whole-map kernels there blow up
     # the remote-compile payload), packed-head dots everywhere, fused
-    # tails, pallas3 DSCF.  In-context v5e B=8 forward: 79.0 ms vs 86.3 for
-    # the r2 config (dev/ablate_full sweeps 2026-08-18).
+    # tails, pallas3 DSCF with packed-slot attention dots at levels 0-2
+    # (level 3's whole-plane tile crashes Mosaic; dev/probe_dscf_packed:
+    # 80.4 -> 77.6 ms B=8 forward same-session).  In-context v5e B=8
+    # forward: 77.6 ms vs 86.3 for the r2 config (sweeps 2026-08-18).
     (
         "r5",
         {
@@ -66,6 +68,7 @@ CONFIGS = [
             "IR_ADS_DSCF_ATTN": "pallas3",
             "IR_ADS_FFN": "fused",
             "IR_ADS_SWIN_PACKED": "1",
+            "IR_ADS_DSCF_PACKED": "1,1,1,0",
         },
     ),
     # r4: v4 half-block kernels with PACKED-HEAD attention dots (4 heads
@@ -300,6 +303,16 @@ def main():
         raise SystemExit(f"all bench configs failed: {errors}")
 
     try:
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from dev.roofline import summary as roofline_summary
+
+        roofline = roofline_summary()
+    except Exception:
+        roofline = None
+
+    try:
         data_ips = round(measure_data_loader(), 1)
     except Exception:
         data_ips = None
@@ -327,6 +340,7 @@ def main():
                     "baseline_note": "est. A100 PyTorch fp16 ~57 fps (no published number)",
                     "data_loader_img_s": data_ips,
                     "data_loader_cached_img_s": data_cached_ips,
+                    "roofline": roofline,
                     "fallback_errors": errors or None,
                 },
             }

@@ -94,7 +94,9 @@ def dscf_bytes(h, w, c, g, n_pts=300):
     return bias + maps
 
 
-def main():
+def component_rows():
+    """(name, flops, bytes) per component — the analytic model behind both
+    the printed table and the bench-detail roofline summary."""
     rows = []  # (name, flops, bytes)
     total = 0
     total_bytes = 0
@@ -139,7 +141,38 @@ def main():
     rows.append(("SegFormer fused head (folded)", hd * B, hb * B))
     total += hd * B
     total_bytes += hb * B
+    return rows, total, total_bytes
 
+
+def summary():
+    """Compact roofline dict for the bench-detail output (VERDICT r1 item
+    1c).  Bounds in ms for the B=8 forward; ``bound`` uses max(MXU, HBM)
+    with the caveat that the HBM column models the UNFUSED map-pass count —
+    for stages running the fused v4/v6 kernels the MXU column is the honest
+    floor (activations stay in VMEM)."""
+    rows, total, total_bytes = component_rows()
+    out = {}
+    floor_mxu = 0.0
+    for name, f, by in rows:
+        key = name.split(" (")[0].replace(" ", "_")
+        mx = 1e3 * f / SUSTAINED_BF16
+        out[key] = {
+            "gflop": round(f / 1e9, 1),
+            "mxu_ms": round(mx, 2),
+            "hbm_ms_unfused": round(1e3 * by / HBM, 2),
+        }
+        floor_mxu += mx
+    out["_total"] = {
+        "gflop": round(total / 1e9, 1),
+        "mxu_floor_ms": round(floor_mxu, 1),
+        "sustained_bf16_tflops": 208,
+        "note": "measured in-context: dev/ablate_full.py sweeps",
+    }
+    return out
+
+
+def main():
+    rows, total, total_bytes = component_rows()
     print(f"workload: {B} images {H}x{W} (4 frames x flip)")
     print(
         f"{'component':58s} {'GFLOP':>8s} {'mxu ms':>7s} "

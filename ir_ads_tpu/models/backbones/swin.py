@@ -1130,7 +1130,19 @@ class DAttentionMM(nn.Module):
             vg = jnp.pad(
                 to_groups(v, 2 * n), ((0, 0), (0, mp - 2 * n), (0, 0))
             )
-            out = dscf_attention_rows(qg, kg, vg, bias_rows, scale, hg)
+            # packed-slot attention dots (block-diag Q, full-K MXU dots):
+            # per-level spec "1,1,1,0" or global "1"/"0"; numerics-validated
+            # levels 0-2, level 3's shape crashes Mosaic (see dev probe)
+            import os
+
+            pk_env = os.environ.get("IR_ADS_DSCF_PACKED", "0")
+            if "," in pk_env:
+                pk_parts = pk_env.split(",")
+                pk_env = pk_parts[min(self.level, len(pk_parts) - 1)].strip()
+            packed = pk_env not in ("", "0")
+            out = dscf_attention_rows(
+                qg, kg, vg, bias_rows, scale, hg, packed
+            )
             out = (
                 out.reshape(b, g, h * w, gc_)
                 .transpose(0, 2, 1, 3)

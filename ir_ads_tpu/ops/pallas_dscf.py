@@ -364,17 +364,26 @@ def dscf_rows_reference(q, k, v, bias, scale, hg):
     return dscf_reference(q, k, v, packed, scale, hg)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def dscf_attention_rows(q, k, v, bias, scale, hg):
-    """Fused forward (Pallas, rows layout) + XLA-recompute backward."""
-    return pallas_dscf_attention_rows(q, k, v, bias, scale, hg)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def dscf_attention_rows(q, k, v, bias, scale, hg, packed=None):
+    """Fused forward (Pallas, rows layout) + XLA-recompute backward.
+
+    ``packed=None`` reads IR_ADS_DSCF_PACKED (global 0/1); callers that know
+    their pyramid level pass an explicit bool (see DAttentionMM — the packed
+    kernel is numerics-validated at bench levels 0-2 but the level-3 shape
+    (h=15, w=20: whole-plane tile, 7-row tail group) hits a Mosaic internal
+    error, so the call site enables it per level)."""
+    return pallas_dscf_attention_rows(q, k, v, bias, scale, hg, packed=packed)
 
 
-def _rows_fwd(q, k, v, bias, scale, hg):
-    return pallas_dscf_attention_rows(q, k, v, bias, scale, hg), (q, k, v, bias)
+def _rows_fwd(q, k, v, bias, scale, hg, packed=None):
+    return (
+        pallas_dscf_attention_rows(q, k, v, bias, scale, hg, packed=packed),
+        (q, k, v, bias),
+    )
 
 
-def _rows_bwd(scale, hg, res, g):
+def _rows_bwd(scale, hg, packed, res, g):
     q, k, v, bias = res
     _, vjp = jax.vjp(
         lambda a, b, c, d: dscf_rows_reference(a, b, c, d, scale, hg),
