@@ -65,7 +65,11 @@ CONFIGS = [
         "r5",
         {
             "IR_ADS_SWIN_ATTN": "pallas4,pallas4,pallas6,pallas6",
-            "IR_ADS_DSCF_ATTN": "pallas3",
+            # profile-guided (dev/probe_profile_forward + probe_dscf_levels):
+            # the rows-layout kernels waste lanes at level 3 (w=20 of 128;
+            # its rpe builder alone was 2.9 ms/forward) — xla einsum wins
+            # there (77.6 -> 75.6 ms); level 2 (w=40) still favors pallas3.
+            "IR_ADS_DSCF_ATTN": "pallas3,pallas3,pallas3,xla",
             "IR_ADS_FFN": "fused",
             "IR_ADS_SWIN_PACKED": "1",
             "IR_ADS_DSCF_PACKED": "1,1,1,0",

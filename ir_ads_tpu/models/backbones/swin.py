@@ -440,23 +440,20 @@ class SwinBlockAdapter(nn.Module):
             s_ln, b_ln = _LNParams(cc, name="norm2")()
             w1, bb1, w2, bb2 = _MlpParams(cc, self.ffn_dim, name="ffn")()
             if sub_mode == "dual":
-                half = b_ // 2
+                # ONE kernel over the dual batch: the per-modality adapter
+                # weights are stacked on a leading stream dim and selected
+                # per grid step by the BlockSpec index map (first half of
+                # the batch rgb, second dte) — no split/concat glue, twice
+                # the grid for pipelining
                 pr = _AdapterParams(cc, ahid, name="adapter_rgb")()
                 pd = _AdapterParams(cc, ahid, name="adapter_dte")()
-                return jnp.concatenate(
-                    [
-                        fused_window_block_v6(
-                            x[:half], attn_params,
-                            (s_ln, b_ln, w1, bb1, w2, bb2, *pr),
-                            region, scale, self.num_heads, ws, shift,
-                        ),
-                        fused_window_block_v6(
-                            x[half:], attn_params,
-                            (s_ln, b_ln, w1, bb1, w2, bb2, *pd),
-                            region, scale, self.num_heads, ws, shift,
-                        ),
-                    ],
-                    axis=0,
+                stacked = tuple(
+                    jnp.stack([a, d]) for a, d in zip(pr, pd)
+                )
+                return fused_window_block_v6(
+                    x, attn_params,
+                    (s_ln, b_ln, w1, bb1, w2, bb2, *stacked),
+                    region, scale, self.num_heads, ws, shift,
                 )
             pa = _AdapterParams(cc, ahid, name=f"adapter_{sub_mode}")()
             return fused_window_block_v6(
@@ -1049,11 +1046,18 @@ class DAttentionMM(nn.Module):
             # costs more than the einsum path XLA already fuses.
             # "pallas3" (round 2) keeps the builder's row-major layout all
             # the way through the attention kernel (transposed scores), so
-            # no relayout exists at all: 97.1 -> 62.8 ms whole-model, and
-            # it wins at every level — the in-context default.
+            # no relayout exists at all: 97.1 -> 62.8 ms whole-model.  It
+            # wins at levels 0-2; at level 3 the rows layout wastes lanes
+            # (w=20 of 128 — its rpe builder alone profiled 2.9 ms/forward)
+            # and the XLA einsum path is faster (dev/probe_dscf_levels:
+            # 77.6 -> 75.6 ms whole-model), so level 3 defaults to xla.
             attn_impl = override or (
                 "pallas3"
-                if (2 * n % 8 == 0 and jax.default_backend() == "tpu")
+                if (
+                    2 * n % 8 == 0
+                    and self.level < 3
+                    and jax.default_backend() == "tpu"
+                )
                 else "xla"
             )
         if ablated("dscf_attncore"):  # perf-attribution stub: no scores/

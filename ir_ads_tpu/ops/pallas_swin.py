@@ -1120,17 +1120,23 @@ def _attn_kernel_v6(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + b2f_ref[...].astype(jnp.float32)
+        # adapter weights may arrive with a leading per-stream block dim
+        # (dual mode: BlockSpec index map selects rgb/dte by grid step)
+        aw1 = aw1_ref[...] if aw1_ref.ndim == 2 else aw1_ref[0]
+        ab1 = ab1_ref[...] if ab1_ref.ndim == 2 else ab1_ref[0]
+        aw2 = aw2_ref[...] if aw2_ref.ndim == 2 else aw2_ref[0]
+        ab2 = ab2_ref[...] if ab2_ref.ndim == 2 else ab2_ref[0]
         a = jax.lax.dot_general(
-            yb.astype(cdt), aw1_ref[...],
+            yb.astype(cdt), aw1,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + ab1_ref[...].astype(jnp.float32)
+        ) + ab1.astype(jnp.float32)
         a = jnp.maximum(a, 0.0).astype(cdt)
         a = jax.lax.dot_general(
-            a, aw2_ref[...],
+            a, aw2,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + ab2_ref[...].astype(jnp.float32)
+        ) + ab2.astype(jnp.float32)
         outs.append((yb + ffn + adapter_scale * a).astype(o_ref.dtype))
     o_ref[0] = (
         outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
@@ -1167,7 +1173,7 @@ def pallas_window_block_v6(
     ln_s, ln_b, wqkv, bqkv, wproj, bproj, bias = attn_params
     g2, b2, w1, b1, w2, b2f, aw1, ab1, aw2, ab2 = tail_params
     hidden = w1.shape[1]
-    ca = aw1.shape[1]
+    ca = aw1.shape[-1]
     cdt = x.dtype
     vec = lambda v: v.reshape(1, -1).astype(cdt)  # noqa: E731
 
@@ -1175,6 +1181,35 @@ def pallas_window_block_v6(
         return pl.BlockSpec(
             shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
         )
+
+    if aw1.ndim == 3:
+        # per-stream stacked adapters (S, C, ca): one kernel over the full
+        # dual batch; the BlockSpec index map selects each grid step's
+        # stream slice (step i -> stream i // (b // S)), so the two
+        # modality streams batch through ONE launch with zero glue.
+        s_n = aw1.shape[0]
+        assert b % s_n == 0, (b, s_n)
+        half = b // s_n
+
+        def aspec(*shape):
+            return pl.BlockSpec(
+                (1, *shape),
+                lambda i, half=half: (i // half,) + (0,) * len(shape),
+                memory_space=pltpu.VMEM,
+            )
+
+        a_specs = [
+            aspec(c, ca), aspec(1, ca), aspec(ca, c), aspec(1, c),
+        ]
+        a_args = [
+            aw1.astype(cdt),
+            ab1.reshape(s_n, 1, -1).astype(cdt),
+            aw2.astype(cdt),
+            ab2.reshape(s_n, 1, -1).astype(cdt),
+        ]
+    else:
+        a_specs = [wspec(c, ca), wspec(1, ca), wspec(ca, c), wspec(1, c)]
+        a_args = [aw1.astype(cdt), vec(ab1), aw2.astype(cdt), vec(ab2)]
 
     out = pl.pallas_call(
         functools.partial(
@@ -1197,8 +1232,7 @@ def pallas_window_block_v6(
             wspec(1, c), wspec(1, c),
             wspec(c, hidden), wspec(1, hidden),
             wspec(hidden, c), wspec(1, c),
-            wspec(c, ca), wspec(1, ca),
-            wspec(ca, c), wspec(1, c),
+            *a_specs,
         ],
         out_specs=pl.BlockSpec(
             (1, h_, w_, c), lambda i: (i, 0, 0, 0),
@@ -1215,7 +1249,7 @@ def pallas_window_block_v6(
         bias.astype(jnp.float32), region_full,
         vec(g2), vec(b2),
         w1.astype(cdt), vec(b1), w2.astype(cdt), vec(b2f),
-        aw1.astype(cdt), vec(ab1), aw2.astype(cdt), vec(ab2),
+        *a_args,
     )
     return out
 
@@ -1231,9 +1265,27 @@ def _block_v6_reference(
         x, *attn_params, region, scale, heads, ws, shift=shift, eps=eps
     )
     b, h_, w_, c = y.shape
-    out = block_tail_reference(
-        y.reshape(-1, c), *tail_params, eps=eps, adapter_scale=adapter_scale
-    )
+    g2, b2, w1, b1, w2, b2f, aw1, ab1, aw2, ab2 = tail_params
+    if aw1.ndim == 3:  # per-stream stacked adapters (dual mode)
+        s_n = aw1.shape[0]
+        half = b // s_n
+        out = jnp.concatenate(
+            [
+                block_tail_reference(
+                    y[i * half : (i + 1) * half].reshape(-1, c),
+                    g2, b2, w1, b1, w2, b2f,
+                    aw1[i], ab1[i], aw2[i], ab2[i],
+                    eps=eps, adapter_scale=adapter_scale,
+                )
+                for i in range(s_n)
+            ],
+            axis=0,
+        )
+    else:
+        out = block_tail_reference(
+            y.reshape(-1, c), *tail_params, eps=eps,
+            adapter_scale=adapter_scale,
+        )
     return out.reshape(b, h_, w_, c)
 
 
