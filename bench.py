@@ -73,6 +73,10 @@ CONFIGS = [
             "IR_ADS_FFN": "fused",
             "IR_ADS_SWIN_PACKED": "1",
             "IR_ADS_DSCF_PACKED": "1,1,1,0",
+            # note: IR_ADS_SWIN_V4_ROWS=5 measured 10% faster per stage-0
+            # call standalone (dev/probe_v4_cost) but the FULL sliding
+            # program with 5-row bands SIGKILLs the remote compile helper
+            # (r8 attempt 2026-08-18) — keep the default banding here
         },
     ),
     # r4: v4 half-block kernels with PACKED-HEAD attention dots (4 heads

@@ -53,7 +53,13 @@ def build_model_and_state(cfg, num_classes, rng_seed=3407, sample_hw=(64, 64)):
     )
     h, w = sample_hw
     dummy = jnp.zeros((1, h, w, 3), jnp.float32)
-    variables = model.init({"params": jax.random.PRNGKey(rng_seed)}, dummy, dummy)
+    # jit the init: eager init dispatches thousands of tiny ops, which is
+    # pathological through remote-execution relays (minutes instead of ~30 s)
+    variables = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(rng_seed)}, dummy, dummy
+        )
+    )()
 
     iters_per_epoch = cfg["_iters_per_epoch"]
     epochs = train_cfg["EPOCHS"]
