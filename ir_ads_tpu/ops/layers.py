@@ -53,7 +53,10 @@ def drop_path(
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     mask = jax.random.bernoulli(rng, keep, shape)
-    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+    # keep may be a TRACED f32 scalar (scanned per-block rate vectors) —
+    # cast back so a bf16 activation is not silently promoted to f32
+    # (breaks the deep-stage scan carry dtype under training)
+    return jnp.where(mask, (x / keep).astype(x.dtype), jnp.zeros_like(x))
 
 
 class DropPath(nn.Module):

@@ -250,3 +250,34 @@ def test_msf_shapes():
     assert probs.shape == (2, 30, 40, 4)
     # 2 scales x 2 (flip) softmax of zeros = uniform 0.25 each, summed -> 1.0
     np.testing.assert_allclose(np.asarray(probs), 1.0, atol=1e-5)
+
+
+def test_scanned_stage_bf16_train_carry_dtype():
+    """Regression: traced f32 drop-path rates must not promote a bf16
+    activation — the deep-stage nn.scan carry then fails dtype checking
+    ("carry input bfloat16 but output float32"), which broke training
+    on the real Swin-B config (depths>=4 stage + drop_path>0 + AMP).
+    Tiny 4-block stage triggers the scan path."""
+    from ir_ads_tpu.models.backbones.swin import SwinStage
+
+    stage = SwinStage(
+        dim=16,
+        depth=4,  # >= 4 and even -> nn.scan over block pairs
+        num_heads=2,
+        ffn_dim=32,
+        window_size=4,
+        drop_rate=0.0,
+        drop_path_rates=(0.1, 0.1, 0.1, 0.1),
+        downsample=False,
+        dtype=jnp.bfloat16,
+    )
+    x = jnp.zeros((2, 8, 8, 16), jnp.bfloat16)
+    variables = stage.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, "rgb", False,
+    )
+    out, _ = stage.apply(
+        variables, x, "rgb", False,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    assert out.dtype == jnp.bfloat16
