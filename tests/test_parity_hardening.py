@@ -98,6 +98,12 @@ def test_gradient_parity_with_torch_autograd():
         for k, p in tref.named_parameters()
         if p.grad is not None
     }
+    # named_parameters() has no buffers (BN running stats, rel-pos index),
+    # but the importer requires those keys — backfill zeros so it runs;
+    # zero leaves are skipped in the comparison loop below
+    for k, v in tref.state_dict().items():
+        if k not in grad_sd:
+            grad_sd[k] = np.zeros_like(v.detach().numpy())
 
     model = CMNeXt(
         backbone="SwinTransformer-B", num_classes=5,

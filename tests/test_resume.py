@@ -11,6 +11,7 @@ import os
 import signal
 import subprocess
 import sys
+import threading
 import time
 
 import pytest
@@ -74,7 +75,10 @@ def test_launcher_requeues_after_kill(tmp_path):
     """Kill training mid-run; tools/launch.py must restart it and the
     restart must resume from the latest checkpoint."""
     save = tmp_path / "run"
-    cfg = _write_cfg(tmp_path, save, epochs=3)
+    # 6 epochs (not 3): the first checkpoint lands after epoch 1 and the
+    # kill below must win the race against run completion — smoke epochs
+    # are only a few seconds each
+    cfg = _write_cfg(tmp_path, save, epochs=6)
     proc = subprocess.Popen(
         [sys.executable, "tools/launch.py", "--max-restarts", "2",
          "--backoff", "1", "--save-dir", str(save), "--",
@@ -82,6 +86,15 @@ def test_launcher_requeues_after_kill(tmp_path):
         cwd=REPO, env=_env(), stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True, start_new_session=True,
     )
+    # Drain stdout CONCURRENTLY: the training child inherits this pipe and
+    # XLA's per-load compile-cache warnings alone exceed the 64KB pipe
+    # capacity — without a reader the child blocks on write before it ever
+    # reaches a checkpoint and the poll below times out.
+    chunks: list = []
+    reader = threading.Thread(
+        target=lambda: chunks.append(proc.stdout.read()), daemon=True
+    )
+    reader.start()
     # wait until the first checkpoint exists, then kill the python child
     deadline = time.time() + 1500
     while time.time() < deadline and _ckpt_dir(save) is None:
@@ -105,6 +118,8 @@ def test_launcher_requeues_after_kill(tmp_path):
             killed = True
             break
     assert killed, "training child process not found"
-    out, _ = proc.communicate(timeout=1800)
+    proc.wait(timeout=1800)
+    reader.join(timeout=60)
+    out = chunks[0] if chunks else ""
     assert "restart 1: resuming from" in out, out[-3000:]
     assert proc.returncode == 0, out[-3000:]

@@ -26,7 +26,7 @@ def window_partition(x, ws):
 
 def window_reverse(windows, ws, h, w):
     b = int(windows.shape[0] / (h * w / ws / ws))
-    x = windows.view(b, h // ws, w // ws, ws, ws, -1)
+    x = windows.reshape(b, h // ws, w // ws, ws, ws, -1)
     return x.permute(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
 
 
@@ -98,14 +98,14 @@ class ShiftWindowMSA(nn.Module):
                 ):
                     img_mask[:, hs, vs, :] = cnt
                     cnt += 1
-            mw = window_partition(img_mask, self.ws).view(-1, self.ws * self.ws)
+            mw = window_partition(img_mask, self.ws).reshape(-1, self.ws * self.ws)
             mask = mw.unsqueeze(1) - mw.unsqueeze(2)
             mask = mask.masked_fill(mask != 0, -100.0).masked_fill(mask == 0, 0.0)
         else:
             mask = None
-        wins = window_partition(x, self.ws).view(-1, self.ws * self.ws, c)
+        wins = window_partition(x, self.ws).reshape(-1, self.ws * self.ws, c)
         wins = self.w_msa(wins, mask)
-        x = window_reverse(wins.view(-1, self.ws, self.ws, c), self.ws, hp, wp)
+        x = window_reverse(wins.reshape(-1, self.ws, self.ws, c), self.ws, hp, wp)
         if self.shift > 0:
             x = torch.roll(x, (self.shift, self.shift), (1, 2))
         if pad_r or pad_b:
