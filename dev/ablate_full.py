@@ -54,8 +54,10 @@ def main():
     )
     p.add_argument(
         "--each", default="",
-        help="comma list of ablate tags measured ONE AT A TIME in this "
-        "process (saves the ~2.5 min tunnel startup per tag); '' = baseline",
+        help="semicolon-separated list of ablate tags measured ONE AT A "
+        "TIME in this process (saves the ~2.5 min tunnel startup per tag); "
+        "'' = baseline.  Semicolon, not comma: a single tag may itself be "
+        "a comma list of stubs applied together",
     )
     args = p.parse_args()
     if args.list:

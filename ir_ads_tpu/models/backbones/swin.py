@@ -383,6 +383,7 @@ class SwinBlockAdapter(nn.Module):
     drop_path_rate: float = 0.0
     adapter_ratio: float = 0.0625
     attn_impl: str = "auto"
+    stage_idx: int = 0  # explicit stage index (per-stage env list keying)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -401,13 +402,13 @@ class SwinBlockAdapter(nn.Module):
                 "pallas" if jax.default_backend() == "tpu" else "xla"
             )
             if "," in attn_impl:
-                # per-stage list keyed by block width (stage i has dim
-                # embed * 2^i), e.g. "pallas4,pallas4,pallas6,pallas6":
-                # the whole-map v5/v6 kernels blow up the remote-compile
-                # payload at the big-map stages (0-1) but win at 2-3
+                # per-stage list keyed by the explicit stage index (plumbed
+                # from SwinTransformer), e.g. "pallas4,pallas4,pallas6,
+                # pallas6": the whole-map v5/v6 kernels blow up the
+                # remote-compile payload at the big-map stages (0-1) but
+                # win at 2-3
                 parts = [p.strip() for p in attn_impl.split(",")]
-                idx = max(0, min(int(self.dim // 128).bit_length() - 1,
-                                 len(parts) - 1))
+                idx = max(0, min(self.stage_idx, len(parts) - 1))
                 attn_impl = parts[idx]
         if (
             attn_impl in ("pallas4", "pallas5", "pallas6")
@@ -624,6 +625,7 @@ class SwinBlockPair(nn.Module):
     drop_rate: float = 0.0
     adapter_ratio: float = 0.0625
     attn_impl: str = "auto"
+    stage_idx: int = 0
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -642,6 +644,7 @@ class SwinBlockPair(nn.Module):
             drop_rate=self.drop_rate,
             adapter_ratio=self.adapter_ratio,
             attn_impl=self.attn_impl,
+            stage_idx=self.stage_idx,
             dtype=self.dtype,
         )
         x = SwinBlockAdapter(shift=False, name="block0", **common)(
@@ -674,6 +677,7 @@ class SwinStage(nn.Module):
     adapter_ratio: float = 0.0625
     use_remat: bool = False
     attn_impl: str = "auto"
+    stage_idx: int = 0
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -710,6 +714,7 @@ class SwinStage(nn.Module):
                 drop_rate=self.drop_rate,
                 adapter_ratio=self.adapter_ratio,
                 attn_impl=self.attn_impl,
+                stage_idx=self.stage_idx,
                 dtype=self.dtype,
                 name="pairs",
             )(x, sub_mode, deterministic, rates)
@@ -728,6 +733,7 @@ class SwinStage(nn.Module):
                     drop_path_rate=float(self.drop_path_rates[i]),
                     adapter_ratio=self.adapter_ratio,
                     attn_impl=self.attn_impl,
+                    stage_idx=self.stage_idx,
                     dtype=self.dtype,
                     name=f"blocks_{i}",
                 )(x, sub_mode, deterministic)
@@ -1395,6 +1401,7 @@ class SwinTransformer(nn.Module):
                 adapter_ratio=self.adapter_ratio,
                 use_remat=self.use_remat,
                 attn_impl=self.attn_impl,
+                stage_idx=i,
                 dtype=self.dtype,
                 name=f"stages_{i}",
             )

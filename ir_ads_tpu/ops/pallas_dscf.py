@@ -210,8 +210,11 @@ def _dscf_rows_kernel_packed(
     blocks are extracted with a constant mask + sum over slots, which for
     row-major slot order lands each row's hg head outputs contiguously —
     a clean (w, gc) store per row.  Softmax normalization is applied to
-    the probabilities BEFORE the PV dot (one broadcast multiply), which
-    differs from the unpacked kernel's post-division by at most an ulp.
+    the probabilities BEFORE the PV dot (one broadcast multiply) and the
+    normalized probabilities are then rounded to the compute dtype for
+    the dot — at bf16 that rounding gives ~1% relative error vs the
+    unpacked kernel's post-division of an f32 accumulator (at f32 the
+    paths agree to an ulp).
     """
     k = k_ref[0]  # (Mp, GC)
     v = v_ref[0]
@@ -282,9 +285,20 @@ def _dscf_rows_kernel_packed(
 
 
 def _packed_rows_enabled() -> bool:
+    """Global IR_ADS_DSCF_PACKED default for callers without a level.
+
+    The env var also accepts a per-level comma list ("1,1,1,0" — see
+    DAttentionMM, which resolves its own level before calling).  A caller
+    that reaches THIS fallback doesn't know its level, so a comma list must
+    resolve to the safe default (unpacked): treating "1,1,1,0" as truthy
+    here would enable packing for the level-3 shape that crashes Mosaic.
+    """
     import os
 
-    return os.environ.get("IR_ADS_DSCF_PACKED", "0") not in ("", "0")
+    val = os.environ.get("IR_ADS_DSCF_PACKED", "0")
+    if "," in val:
+        return False
+    return val not in ("", "0")
 
 
 def _pick_tile_r(h: int, w: int) -> int:
@@ -522,14 +536,21 @@ def _pick_band_rows(h: int, w: int, m: int, hg: int) -> int:
     """Largest row band with (hg, rows, M, w) f32 scratch <= ~24 MB, rows
     dividing h and rows*w a sublane multiple."""
     budget = 24 * 1024 * 1024
-    best = None
     for rows in range(h, 0, -1):
         if h % rows or (rows * w) % 8:
             continue
         if hg * rows * m * w * 4 <= budget:
-            best = rows
-            break
-    return best or h
+            return rows
+    # No row count satisfies the (rows*w) % 8 sublane rule within budget
+    # (e.g. h=15, w=20 at level 3).  Returning h here would build a block
+    # shape that violates the stated Mosaic rule and crash mid-compile —
+    # fail loudly instead so the caller falls back to the two-kernel/XLA
+    # path.
+    raise ValueError(
+        f"pallas_dscf_attention_fused: no legal row band for "
+        f"(h={h}, w={w}, m={m}, hg={hg}) — rows*w must be a multiple of 8 "
+        f"within the VMEM budget; use the rows/XLA path for this shape"
+    )
 
 
 def pallas_dscf_attention_fused(
