@@ -199,7 +199,8 @@ fused_window_attention.defvjp(_fused_fwd, _fused_bwd)
 
 
 def _attn_kernel_v2(
-    qkv_ref, bias_ref, region_ref, o_ref, *, scale, heads, packed=False
+    qkv_ref, bias_ref, region_ref, o_ref, *, scale, heads, packed=False,
+    layout="tall",
 ):
     """One chunk of G windows, ALL heads.
 
@@ -217,6 +218,7 @@ def _attn_kernel_v2(
     _heads_attention(
         qkv, bias_ref[...], neq, o_ref,
         scale=scale, heads=heads, cdt=o_ref.dtype, packed=packed,
+        layout=layout,
     )
 
 
@@ -261,7 +263,7 @@ def pallas_window_attention_qkv(
     out = pl.pallas_call(
         functools.partial(
             _attn_kernel_v2, scale=scale, heads=heads,
-            packed=_packed_enabled(),
+            packed=_packed_enabled(), layout=_packed_layout(),
         ),
         out_shape=jax.ShapeDtypeStruct((bn_pad, n, c), qkv.dtype),
         grid=(bn_pad // g,),
@@ -347,7 +349,9 @@ def shift_region_ids(hp: int, wp: int, ws: int, shift: int) -> np.ndarray:
     return img.reshape(-1, ws * ws)
 
 
-def _heads_attention(qkvw, bias, neq, outw_ref, *, scale, heads, cdt, packed):
+def _heads_attention(
+    qkvw, bias, neq, outw_ref, *, scale, heads, cdt, packed, layout="tall"
+):
     """Per-head window attention on a VMEM-resident (G, N, 3C) block,
     writing (G, N, C) into ``outw_ref``.
 
@@ -356,10 +360,10 @@ def _heads_attention(qkvw, bias, neq, outw_ref, *, scale, heads, cdt, packed):
     heads x 2 tiny dots, which measures issue-bound at the late stages
     (16/32 heads, 3-4 windows per band).
 
-    packed=True: process p = 128//d heads per dot via block-diagonal Q
-    packing.  For a head group [q_0..q_{p-1}] with channels side by side
-    (N, p*d), build Q_bd (p*N, p*d) = tile(q, (p, 1)) masked so row block h
-    keeps only head h's channel slice; then
+    packed=True, layout="tall": process p = 128//d heads per dot via
+    block-diagonal Q packing.  For a head group [q_0..q_{p-1}] with
+    channels side by side (N, p*d), build Q_bd (p*N, p*d) = tile(q, (p, 1))
+    masked so row block h keeps only head h's channel slice; then
 
         S_tall (p*N, N) = Q_bd @ k_group^T
 
@@ -372,6 +376,28 @@ def _heads_attention(qkvw, bias, neq, outw_ref, *, scale, heads, cdt, packed):
     the diagonal blocks are extracted with a constant mask + sum over the
     p row blocks (VPU-cheap).  Net at stage-2 shapes: 2 dots per 4 heads
     instead of 8, ~1.6x fewer MXU passes and 4x fewer instructions.
+
+    packed=True, layout="wide" (IR_ADS_SWIN_PACKED=2): heads pack into the
+    LANE dim of the scores instead of the sublanes.  Block-diagonalize K
+    and V (same selector), so
+
+        S_wide (N, p*N) = q_group (N, p*d) @ K_bd (p*N, p*d)^T
+
+    puts head j's (N, N) scores at lane block j.  Two wins over "tall":
+    (1) the score tensor's lane dim is p*N (576 at p=4, ws=12 -> 11% Mosaic
+    lane padding) instead of N (144 -> 78% padding), so BOTH attention dots
+    run ~1.6x fewer MXU cycles; (2) the PV dot P (N, p*N) @ V_bd (p*N, p*d)
+    lands every head's output directly in its channel slice — the tall
+    layout's (G, p*N, p*d) f32 extract (mask + reduce over p) disappears.
+    Softmax subtracts the per-row max over ALL p segments (softmax is
+    shift-invariant per segment, so this is exact) and re-normalizes per
+    segment with a denominator computed by one tiny MXU dot against the
+    block-diagonal selector; the PV dot consumes unnormalized exp and the
+    division happens on the (N, p*d) output.  Numerics: agrees with the
+    unpacked path to compute-dtype rounding (not bitwise — exp/normalize
+    round in a different order); a head whose entire row sits >~88 logits
+    below the global row max underflows to an all-zero output row (guarded
+    against 0/0; impossible for LN'd real activations).
     """
     g_, n, c3 = qkvw.shape
     c = c3 // 3
@@ -381,6 +407,68 @@ def _heads_attention(qkvw, bias, neq, outw_ref, *, scale, heads, cdt, packed):
         p = min(p, packed)  # caller-capped pack factor (VMEM budget)
     while p > 1 and heads % p:
         p //= 2
+    # folded-bias mode (neq is None): ``bias`` is a PER-WINDOW
+    # (G, heads, N, N) f32 slab with the shift-region mask already added
+    # (-1e9 at masked pairs) — built once per call in XLA.  This removes
+    # the per-(grid step, head group) neq build + where pass, which the
+    # round-3 probe measured at ~2.0 ms of a 2.165 ms shifted stage-0 v4
+    # call (dev/probe_r3_stage_kernels.py: shift6 2.165 vs shift0 0.165).
+    folded = neq is None
+
+    if packed and p > 1 and heads % p == 0 and layout == "wide":
+        pd = p * d
+        row_head = jax.lax.broadcasted_iota(jnp.int32, (p * n, pd), 0) // n
+        col_head = jax.lax.broadcasted_iota(jnp.int32, (p * n, pd), 1) // d
+        sel = row_head == col_head  # (pN, pd) block-diagonal selector
+        sel_f = sel.astype(qkvw.dtype)
+        if not folded:
+            # region mask as an ADDITIVE f32 term, lane-tiled by concat:
+            # 3-D bool lane ops (tile/reshape of neq) are Mosaic walls, and
+            # the add folds the mask pass into the bias add
+            maskf = jnp.where(neq, -1e9, 0.0).astype(jnp.float32)
+            maskf_w = (
+                maskf if p == 1 else jnp.concatenate([maskf] * p, axis=-1)
+            )  # (G, N, pN)
+        for h0 in range(0, heads, p):
+            q = qkvw[:, :, h0 * d : h0 * d + pd]
+            k = qkvw[:, :, c + h0 * d : c + h0 * d + pd]
+            v = qkvw[:, :, 2 * c + h0 * d : 2 * c + h0 * d + pd]
+            k_bd = jnp.where(
+                sel[None], jnp.tile(k, (1, p, 1)), 0
+            ).astype(k.dtype)
+            v_bd = jnp.where(
+                sel[None], jnp.tile(v, (1, p, 1)), 0
+            ).astype(v.dtype)
+            s = jax.lax.dot_general(
+                (q * scale).astype(q.dtype), k_bd,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (G, N, pN) f32 — head j's scores at lanes [j*N, (j+1)*N)
+            if folded:
+                s = s + jnp.concatenate(
+                    [bias[:, h0 + j] for j in range(p)], axis=-1
+                )  # (G, N, pN) per-window bias+mask slab slices
+            else:
+                bias_w = jnp.concatenate(
+                    [bias[h0 + j] for j in range(p)], axis=-1
+                )  # (N, pN) f32 lane-concat (VMEM-local)
+                s = s + (bias_w[None] + maskf_w)
+            mx = jnp.max(s, axis=-1, keepdims=True)  # global row max
+            ex = jnp.exp(s - mx).astype(v.dtype)
+            o_num = jax.lax.dot_general(
+                ex, v_bd,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (G, N, pd) f32 — unnormalized, heads in channel slices
+            den = jax.lax.dot_general(
+                ex, sel_f,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (G, N, pd): per-segment sum broadcast to the head's lanes
+            outw_ref[:, :, h0 * d : h0 * d + pd] = (
+                o_num / jnp.maximum(den, 1e-30)
+            ).astype(cdt)
+        return
     if not packed or p <= 1 or heads % p:
         for h in range(heads):
             q = qkvw[:, :, h * d : (h + 1) * d]
@@ -391,8 +479,11 @@ def _heads_attention(qkvw, bias, neq, outw_ref, *, scale, heads, cdt, packed):
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            s = s + bias[h][None]
-            s = jnp.where(neq, s - 1e9, s)
+            if folded:
+                s = s + bias[:, h]
+            else:
+                s = s + bias[h][None]
+                s = jnp.where(neq, s - 1e9, s)
             pr = jax.nn.softmax(s, axis=-1)
             outw_ref[:, :, h * d : (h + 1) * d] = jax.lax.dot_general(
                 pr.astype(v.dtype), v,
@@ -409,7 +500,8 @@ def _heads_attention(qkvw, bias, neq, outw_ref, *, scale, heads, cdt, packed):
         jax.lax.broadcasted_iota(jnp.int32, (p, 1, pd), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (p, 1, pd), 2) // d
     ).astype(jnp.float32)
-    neq_t = jnp.tile(neq, (1, p, 1))  # (G, pN, N)
+    if not folded:
+        neq_t = jnp.tile(neq, (1, p, 1))  # (G, pN, N)
     for h0 in range(0, heads, p):
         q = qkvw[:, :, h0 * d : h0 * d + pd]
         k = qkvw[:, :, c + h0 * d : c + h0 * d + pd]
@@ -420,8 +512,12 @@ def _heads_attention(qkvw, bias, neq, outw_ref, *, scale, heads, cdt, packed):
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (G, pN, N) f32
-        s = s + bias[h0 : h0 + p].reshape(p * n, n)[None]
-        s = jnp.where(neq_t, s - 1e9, s)
+        if folded:
+            # (G, p, N, N) -> (G, pN, N): leading-dim merge into sublanes
+            s = s + bias[:, h0 : h0 + p].reshape(g_, p * n, n)
+        else:
+            s = s + bias[h0 : h0 + p].reshape(p * n, n)[None]
+            s = jnp.where(neq_t, s - 1e9, s)
         pr = jax.nn.softmax(s, axis=-1)
         o_full = jax.lax.dot_general(
             pr.astype(v.dtype), v,
@@ -436,6 +532,46 @@ def _packed_enabled() -> bool:
     import os
 
     return os.environ.get("IR_ADS_SWIN_PACKED", "1") not in ("", "0")
+
+
+def _packed_layout() -> str:
+    """IR_ADS_SWIN_PACKED=2 selects the head-minor "wide" score layout
+    (see _heads_attention); any other non-zero value keeps "tall"."""
+    import os
+
+    return (
+        "wide"
+        if os.environ.get("IR_ADS_SWIN_PACKED", "1") == "2"
+        else "tall"
+    )
+
+
+def _biasmask_enabled() -> bool:
+    """IR_ADS_SWIN_BIASMASK=1 enables the folded per-window bias+mask slab
+    instead of the in-kernel region compare + where.  MEASURED A LOSS on
+    v5e (dev/probe_r3_stage_kernels 2026-08-18: v6 stage-2 shifted 0.56 ms
+    in-kernel path vs 1.0 ms folded — the slab DMA + in-kernel slice/
+    reshape cost more than the neq+where passes they replace; v4 stage-0
+    a wash at ~2.0 ms).  Kept opt-in for future probing."""
+    import os
+
+    return os.environ.get("IR_ADS_SWIN_BIASMASK", "0") not in ("", "0")
+
+
+def _fold_bias_region(bias: jax.Array, region_full: jax.Array) -> jax.Array:
+    """(heads, N, N) rel-pos bias + (nW, N) shift-region ids ->
+    (nW, heads, N, N) f32 slab with -1e9 added at masked pairs.
+
+    Built ONCE per kernel call in XLA and fed as an operand; the kernels
+    then add it in a single pass instead of re-deriving the mask per grid
+    step (neq build + where on the f32 scores), which the round-3 probe
+    measured at ~2.0 of the 2.165 ms shifted stage-0 v4 call.  Unmasked
+    entries are bitwise the old path (mask contributes +0.0); masked
+    entries differ by f32 associativity under the -1e9, which softmax
+    flushes to 0 either way."""
+    neq = region_full[:, :, None] != region_full[:, None, :]
+    mask = jnp.where(neq, -1e9, 0.0).astype(jnp.float32)
+    return bias.astype(jnp.float32)[None] + mask[:, None]
 
 
 # --------------------------------------------------------------------------
@@ -455,7 +591,7 @@ def _packed_enabled() -> bool:
 
 def _attn_kernel_v3(
     qkv_ref, bias_ref, region_ref, o_ref, outw_ref, *, scale, heads, ws,
-    nwin_w, packed=False
+    nwin_w, packed=False, layout="tall",
 ):
     """One band of window rows, ALL heads.
 
@@ -482,6 +618,7 @@ def _attn_kernel_v3(
     _heads_attention(
         qkvw, bias_ref[...], neq, outw_ref,
         scale=scale, heads=heads, cdt=o_ref.dtype, packed=packed,
+        layout=layout,
     )
     # VMEM-local window reverse
     o_ref[0] = (
@@ -544,7 +681,7 @@ def pallas_window_attention_map(
     out = pl.pallas_call(
         functools.partial(
             _attn_kernel_v3, scale=scale, heads=heads, ws=ws, nwin_w=nwin_w,
-            packed=_packed_enabled(),
+            packed=_packed_enabled(), layout=_packed_layout(),
         ),
         out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), qkv.dtype),
         grid=(b, nwin_h // rows_per_step),
@@ -644,12 +781,13 @@ fused_window_attention_map.defvjp(_fused_map_fwd, _fused_map_bwd)
 def _attn_kernel_v4(
     x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
     region_ref, o_ref, outw_ref, *, eps, scale, heads, ws, nwin_w,
-    hp, h_real, w_real, shift, packed=False,
+    hp, h_real, w_real, shift, packed=False, layout="tall", folded=False,
 ):
     """One band of window rows, all heads.
 
     x: (1, rows*ws, Wp, C); g/b: (1, C) LN1; wqkv: (C, 3C); bqkv: (1, 3C);
-    wp: (C, C); bp: (1, C); bias: (heads, N, N) f32;
+    wp: (C, C); bp: (1, C); bias: (heads, N, N) f32 — or, when ``folded``,
+    the per-window (1, G, heads, N, N) bias+mask slab (region_ref unused);
     region: (1, G, N) int32; out: (1, rows*ws, Wp, C);
     outw_ref: (G, N, C) VMEM scratch.
 
@@ -704,12 +842,18 @@ def _attn_kernel_v4(
         .transpose(0, 2, 1, 3, 4)
         .reshape(rows * nwin_w, n, 3 * c)
     )
-    region = region_ref[0]
-    neq = region[:, :, None] != region[:, None, :]  # (G, N, N)
-    _heads_attention(
-        qkvw, bias_ref[...], neq, outw_ref,
-        scale=scale, heads=heads, cdt=cdt, packed=packed,
-    )
+    if folded:
+        _heads_attention(
+            qkvw, bias_ref[0], None, outw_ref,
+            scale=scale, heads=heads, cdt=cdt, packed=packed, layout=layout,
+        )
+    else:
+        region = region_ref[0]
+        neq = region[:, :, None] != region[:, None, :]  # (G, N, N)
+        _heads_attention(
+            qkvw, bias_ref[...], neq, outw_ref,
+            scale=scale, heads=heads, cdt=cdt, packed=packed, layout=layout,
+        )
     # VMEM window reverse -> (rh*wp, C)
     att = (
         outw_ref[...]
@@ -729,7 +873,7 @@ def _attn_kernel_v4(
 def _attn_kernel_v4_int8(
     x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref, wp_ref, sp_ref,
     bp_ref, bias_ref, region_ref, o_ref, outw_ref, *, eps, scale, heads,
-    ws, nwin_w, hp, h_real, w_real, shift, packed=False,
+    ws, nwin_w, hp, h_real, w_real, shift, packed=False, layout="tall",
 ):
     """w8a8 variant of the v4 half-block: the qkv and out projections run
     s8 x s8 -> s32 on the MXU; attention itself stays in the compute dtype
@@ -776,7 +920,7 @@ def _attn_kernel_v4_int8(
     neq = region[:, :, None] != region[:, None, :]
     _heads_attention(
         qkvw, bias_ref[...], neq, outw_ref,
-        scale=scale, heads=heads, cdt=cdt, packed=packed,
+        scale=scale, heads=heads, cdt=cdt, packed=packed, layout=layout,
     )
     att = (
         outw_ref[...]
@@ -861,6 +1005,7 @@ def pallas_window_block(
                 _attn_kernel_v4_int8, eps=eps, scale=scale, heads=heads,
                 ws=ws, nwin_w=nwin_w, hp=hp, h_real=h_real, w_real=w_real,
                 shift=shift, packed=_packed_enabled(),
+                layout=_packed_layout(),
             ),
             out_shape=jax.ShapeDtypeStruct((b, hp, wpx, c), x.dtype),
             grid=(b, n_bands),
@@ -896,11 +1041,25 @@ def pallas_window_block(
         )
         return out
 
+    folded = region is not None and _biasmask_enabled()
+    if folded:
+        slab = _fold_bias_region(bias, region_full).reshape(
+            n_bands, g, heads, n, n
+        )
+        bias_arg = slab
+        bias_spec = pl.BlockSpec(
+            (1, g, heads, n, n), lambda i, j: (j, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        bias_arg = bias.astype(jnp.float32)
+        bias_spec = wspec(heads, n, n)
+
     out = pl.pallas_call(
         functools.partial(
             _attn_kernel_v4, eps=eps, scale=scale, heads=heads, ws=ws,
             nwin_w=nwin_w, hp=hp, h_real=h_real, w_real=w_real, shift=shift,
-            packed=_packed_enabled(),
+            packed=_packed_enabled(), layout=_packed_layout(), folded=folded,
         ),
         out_shape=jax.ShapeDtypeStruct((b, hp, wpx, c), x.dtype),
         grid=(b, n_bands),
@@ -913,7 +1072,7 @@ def pallas_window_block(
             wspec(1, c), wspec(1, c),
             wspec(c, 3 * c), wspec(1, 3 * c),
             wspec(c, c), wspec(1, c),
-            wspec(heads, n, n),
+            bias_spec,
             pl.BlockSpec(
                 (1, g, n), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -931,7 +1090,7 @@ def pallas_window_block(
     )(
         x, vec(ln_scale), vec(ln_bias),
         wqkv.astype(cdt), vec(bqkv), wproj.astype(cdt), vec(bproj),
-        bias.astype(jnp.float32), region_banded,
+        bias_arg, region_banded,
     )
     return out
 
@@ -957,9 +1116,10 @@ def pallas_window_block(
 def _attn_kernel_v5(
     x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
     region_ref, o_ref, outw_ref, *, eps, scale, heads, ws, shift, hp, wp,
-    pack,
+    pack, layout="tall", folded=False,
 ):
-    """Grid: (B,).  x/o: (1, H, W, C) REAL maps; outw: (nW, N, C) scratch."""
+    """Grid: (B,).  x/o: (1, H, W, C) REAL maps; outw: (nW, N, C) scratch.
+    ``folded``: bias_ref is the (nW, heads, N, N) bias+mask slab."""
     x = x_ref[0]  # (H, W, C)
     h_, w_, c = x.shape
     n = ws * ws
@@ -999,12 +1159,18 @@ def _attn_kernel_v5(
         .transpose(0, 2, 1, 3, 4)
         .reshape((hp // ws) * nwin_w, n, 3 * c)
     )
-    region = region_ref[...]
-    neq = region[:, :, None] != region[:, None, :]  # (nW, N, N)
-    _heads_attention(
-        qkvw, bias_ref[...], neq, outw_ref,
-        scale=scale, heads=heads, cdt=cdt, packed=pack,
-    )
+    if folded:
+        _heads_attention(
+            qkvw, bias_ref[...], None, outw_ref,
+            scale=scale, heads=heads, cdt=cdt, packed=pack, layout=layout,
+        )
+    else:
+        region = region_ref[...]
+        neq = region[:, :, None] != region[:, None, :]  # (nW, N, N)
+        _heads_attention(
+            qkvw, bias_ref[...], neq, outw_ref,
+            scale=scale, heads=heads, cdt=cdt, packed=pack, layout=layout,
+        )
     att = (
         outw_ref[...]
         .reshape(hp // ws, nwin_w, ws, ws, c)
@@ -1030,6 +1196,7 @@ def _attn_kernel_v6(
     region_ref, g2_ref, b2_ref, w1_ref, b1_ref, w2_ref, b2f_ref,
     aw1_ref, ab1_ref, aw2_ref, ab2_ref, o_ref, outw_ref, *,
     eps, scale, heads, ws, shift, hp, wp, pack, adapter_scale,
+    layout="tall", folded=False,
 ):
     """v6 = v5 + the block tail: the ENTIRE Swin block (LN1 + qkv + W/SW-MSA
     + proj + residual + LN2 + FFN + adapter + residual) in one kernel — one
@@ -1068,12 +1235,18 @@ def _attn_kernel_v6(
         .transpose(0, 2, 1, 3, 4)
         .reshape((hp // ws) * nwin_w, n, 3 * c)
     )
-    region = region_ref[...]
-    neq = region[:, :, None] != region[:, None, :]
-    _heads_attention(
-        qkvw, bias_ref[...], neq, outw_ref,
-        scale=scale, heads=heads, cdt=cdt, packed=pack,
-    )
+    if folded:
+        _heads_attention(
+            qkvw, bias_ref[...], None, outw_ref,
+            scale=scale, heads=heads, cdt=cdt, packed=pack, layout=layout,
+        )
+    else:
+        region = region_ref[...]
+        neq = region[:, :, None] != region[:, None, :]
+        _heads_attention(
+            qkvw, bias_ref[...], neq, outw_ref,
+            scale=scale, heads=heads, cdt=cdt, packed=pack, layout=layout,
+        )
     att = (
         outw_ref[...]
         .reshape(hp // ws, nwin_w, ws, ws, c)
@@ -1211,11 +1384,19 @@ def pallas_window_block_v6(
         a_specs = [wspec(c, ca), wspec(1, ca), wspec(ca, c), wspec(1, c)]
         a_args = [aw1.astype(cdt), vec(ab1), aw2.astype(cdt), vec(ab2)]
 
+    folded = region is not None and _biasmask_enabled()
+    if folded:
+        bias_arg = _fold_bias_region(bias, region_full)
+        bias_spec = wspec(nw, heads, n, n)
+    else:
+        bias_arg = bias.astype(jnp.float32)
+        bias_spec = wspec(heads, n, n)
     out = pl.pallas_call(
         functools.partial(
             _attn_kernel_v6, eps=eps, scale=scale, heads=heads, ws=ws,
             shift=shift, hp=hp, wp=wp, pack=pack,
-            adapter_scale=adapter_scale,
+            adapter_scale=adapter_scale, layout=_packed_layout(),
+            folded=folded,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h_, w_, c), x.dtype),
         grid=(b,),
@@ -1227,7 +1408,7 @@ def pallas_window_block_v6(
             wspec(1, c), wspec(1, c),
             wspec(c, 3 * c), wspec(1, 3 * c),
             wspec(c, c), wspec(1, c),
-            wspec(heads, n, n),
+            bias_spec,
             wspec(nw, n),
             wspec(1, c), wspec(1, c),
             wspec(c, hidden), wspec(1, hidden),
@@ -1246,7 +1427,7 @@ def pallas_window_block_v6(
     )(
         x, vec(ln_s), vec(ln_b),
         wqkv.astype(cdt), vec(bqkv), wproj.astype(cdt), vec(bproj),
-        bias.astype(jnp.float32), region_full,
+        bias_arg, region_full,
         vec(g2), vec(b2),
         w1.astype(cdt), vec(b1), w2.astype(cdt), vec(b2f),
         *a_args,
@@ -1374,10 +1555,18 @@ def pallas_window_block_full(
             shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
         )
 
+    folded = region is not None and _biasmask_enabled()
+    if folded:
+        bias_arg = _fold_bias_region(bias, region_full)
+        bias_spec = wspec(nw, heads, n, n)
+    else:
+        bias_arg = bias.astype(jnp.float32)
+        bias_spec = wspec(heads, n, n)
     out = pl.pallas_call(
         functools.partial(
             _attn_kernel_v5, eps=eps, scale=scale, heads=heads, ws=ws,
-            shift=shift, hp=hp, wp=wp, pack=pack,
+            shift=shift, hp=hp, wp=wp, pack=pack, layout=_packed_layout(),
+            folded=folded,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h_, w_, c), x.dtype),
         grid=(b,),
@@ -1389,7 +1578,7 @@ def pallas_window_block_full(
             wspec(1, c), wspec(1, c),
             wspec(c, 3 * c), wspec(1, 3 * c),
             wspec(c, c), wspec(1, c),
-            wspec(heads, n, n),
+            bias_spec,
             wspec(nw, n),
         ],
         out_specs=pl.BlockSpec(
@@ -1404,7 +1593,7 @@ def pallas_window_block_full(
     )(
         x, vec(ln_scale), vec(ln_bias),
         wqkv.astype(cdt), vec(bqkv), wproj.astype(cdt), vec(bproj),
-        bias.astype(jnp.float32), region_full,
+        bias_arg, region_full,
     )
     return out
 

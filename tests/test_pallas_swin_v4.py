@@ -229,3 +229,52 @@ def test_packed_heads_matches_per_head(heads, c, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(packed), np.asarray(ref), rtol=1e-5, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("heads,c", [(4, 128), (16, 512)])
+def test_wide_packed_heads_matches_per_head(heads, c, monkeypatch):
+    """IR_ADS_SWIN_PACKED=2: head-minor "wide" score layout (heads packed
+    into the score LANES via block-diagonal K/V).  Not bitwise vs the
+    per-head loop (global-row-max softmax + post-PV normalization round in
+    a different order) but must agree to f32 rounding."""
+    ws = 4
+    key = jax.random.PRNGKey(21)
+    p = _params(key, c, heads, ws)
+    x = jax.random.normal(jax.random.PRNGKey(22), (2, 8, 8, c), jnp.float32)
+    region = jnp.asarray(shift_region_ids(8, 8, ws, 2))
+    args = [p[k] for k in ORDER]
+    scale = (c // heads) ** -0.5
+
+    monkeypatch.setenv("IR_ADS_SWIN_PACKED", "0")
+    base = pallas_window_block(
+        x, *args, region, scale, heads, ws, shift=2, interpret=True
+    )
+    monkeypatch.setenv("IR_ADS_SWIN_PACKED", "2")
+    wide = pallas_window_block(
+        x, *args, region, scale, heads, ws, shift=2, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(wide), np.asarray(base), rtol=1e-5, atol=1e-4
+    )
+    ref = _block_reference(x, *args, region, scale, heads, ws, shift=2)
+    np.testing.assert_allclose(
+        np.asarray(wide), np.asarray(ref), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_wide_packed_no_shift(monkeypatch):
+    """Wide layout on the unshifted path (region all zeros)."""
+    ws, c, heads = 4, 128, 4
+    key = jax.random.PRNGKey(23)
+    p = _params(key, c, heads, ws)
+    x = jax.random.normal(jax.random.PRNGKey(24), (2, 8, 8, c), jnp.float32)
+    args = [p[k] for k in ORDER]
+    scale = (c // heads) ** -0.5
+    monkeypatch.setenv("IR_ADS_SWIN_PACKED", "2")
+    wide = pallas_window_block(
+        x, *args, None, scale, heads, ws, shift=0, interpret=True
+    )
+    ref = _block_reference(x, *args, None, scale, heads, ws, shift=0)
+    np.testing.assert_allclose(
+        np.asarray(wide), np.asarray(ref), rtol=1e-5, atol=1e-4
+    )
