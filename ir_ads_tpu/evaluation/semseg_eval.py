@@ -355,6 +355,17 @@ def make_spatial_sharded_forward(
     field exceeds ``halo``, this is the spatial analogue of sliding-window
     inference with overlap = halo.
 
+    DSCF models (CMNeXt): whole-image equality does NOT hold — DSCF's
+    deformable offsets/rpe are predicted in normalized STRIP coordinates
+    and its sampling field is global, so no fixed halo covers it (measured
+    deviation ~1.5x logit std, tests/test_spatial_shard_cmnext.py).  The
+    contract for such models is TILE EQUIVALENCE instead: each strip's
+    output exactly equals running the model on that strip's haloed crop —
+    the same semantics as the reference's sliding-tile inference
+    (val_mm.py:30-62), distributed over chips.  Use whole-image sharding
+    for pure-window/conv trunks; treat DSCF spatial sharding as
+    distributed tiling.
+
     ``forward`` must preserve spatial shape (e.g. a logits head upsampled to
     input resolution).  Input H must divide evenly by the axis size.
     """

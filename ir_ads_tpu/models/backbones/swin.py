@@ -382,6 +382,7 @@ class SwinBlockAdapter(nn.Module):
     drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     adapter_ratio: float = 0.0625
+    adapter_drop: float = 0.1  # reference Adapter dropout (swin.py:472-502)
     attn_impl: str = "auto"
     stage_idx: int = 0  # explicit stage index (per-stage env list keying)
     dtype: Optional[Dtype] = None
@@ -583,17 +584,18 @@ class SwinBlockAdapter(nn.Module):
             half = x.shape[0] // 2
             a_rgb = Adapter(
                 mlp_ratio=self.adapter_ratio, skip_connect=False,
-                dtype=self.dtype, name="adapter_rgb",
+                drop=self.adapter_drop, dtype=self.dtype, name="adapter_rgb",
             )(x[:half], deterministic)
             a_dte = Adapter(
                 mlp_ratio=self.adapter_ratio, skip_connect=False,
-                dtype=self.dtype, name="adapter_dte",
+                drop=self.adapter_drop, dtype=self.dtype, name="adapter_dte",
             )(x[half:], deterministic)
             adapter_x = 0.5 * jnp.concatenate([a_rgb, a_dte], axis=0)
         else:
             adapter = Adapter(
                 mlp_ratio=self.adapter_ratio,
                 skip_connect=False,
+                drop=self.adapter_drop,
                 dtype=self.dtype,
                 name=f"adapter_{sub_mode}",
             )
@@ -624,6 +626,7 @@ class SwinBlockPair(nn.Module):
     window_size: int
     drop_rate: float = 0.0
     adapter_ratio: float = 0.0625
+    adapter_drop: float = 0.1
     attn_impl: str = "auto"
     stage_idx: int = 0
     dtype: Optional[Dtype] = None
@@ -643,6 +646,7 @@ class SwinBlockPair(nn.Module):
             window_size=self.window_size,
             drop_rate=self.drop_rate,
             adapter_ratio=self.adapter_ratio,
+            adapter_drop=self.adapter_drop,
             attn_impl=self.attn_impl,
             stage_idx=self.stage_idx,
             dtype=self.dtype,
@@ -675,6 +679,7 @@ class SwinStage(nn.Module):
     drop_path_rates: Sequence[float]
     downsample: bool
     adapter_ratio: float = 0.0625
+    adapter_drop: float = 0.1
     use_remat: bool = False
     attn_impl: str = "auto"
     stage_idx: int = 0
@@ -696,12 +701,29 @@ class SwinStage(nn.Module):
             pair_cls = SwinBlockPair
             if self.use_remat:
                 pair_cls = nn.remat(SwinBlockPair, static_argnums=(2, 3))
+            # IR_ADS_SWIN_UNROLL (int or per-stage comma list): lax.scan
+            # unroll factor.  Full unroll turns the per-iteration stacked-
+            # param dynamic slices and rel-pos-bias gathers into static
+            # slices XLA can hoist/overlap (the round-2 profile charged
+            # ~2.3 ms of the stage-2 scan to that glue); the param tree is
+            # unchanged, only the loop structure.  Costs HLO size — the
+            # persistent compile cache absorbs it after the first build.
+            import os
+
+            unroll_env = os.environ.get("IR_ADS_SWIN_UNROLL", "")
+            if "," in unroll_env:
+                parts = unroll_env.split(",")
+                unroll_env = parts[
+                    min(self.stage_idx, len(parts) - 1)
+                ].strip()
+            unroll = min(int(unroll_env or 1), self.depth // 2)
             scanned = nn.scan(
                 pair_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, nn.broadcast, 0),
                 length=self.depth // 2,
+                unroll=max(unroll, 1),
             )
             rates = jnp.asarray(self.drop_path_rates, jnp.float32).reshape(
                 self.depth // 2, 2
@@ -713,6 +735,7 @@ class SwinStage(nn.Module):
                 window_size=self.window_size,
                 drop_rate=self.drop_rate,
                 adapter_ratio=self.adapter_ratio,
+                adapter_drop=self.adapter_drop,
                 attn_impl=self.attn_impl,
                 stage_idx=self.stage_idx,
                 dtype=self.dtype,
@@ -732,6 +755,7 @@ class SwinStage(nn.Module):
                     drop_rate=self.drop_rate,
                     drop_path_rate=float(self.drop_path_rates[i]),
                     adapter_ratio=self.adapter_ratio,
+                    adapter_drop=self.adapter_drop,
                     attn_impl=self.attn_impl,
                     stage_idx=self.stage_idx,
                     dtype=self.dtype,
@@ -1339,6 +1363,7 @@ class SwinTransformer(nn.Module):
     out_indices: Sequence[int] = (0, 1, 2, 3)
     mapa_ratio: float = 0.125
     adapter_ratio: float = 0.0625
+    adapter_drop: float = 0.1
     dscf_ratio: float = 0.125
     use_remat: bool = False
     mmst_mask: bool = True
@@ -1399,6 +1424,7 @@ class SwinTransformer(nn.Module):
                 ),
                 downsample=i < num_layers - 1,
                 adapter_ratio=self.adapter_ratio,
+                adapter_drop=self.adapter_drop,
                 use_remat=self.use_remat,
                 attn_impl=self.attn_impl,
                 stage_idx=i,

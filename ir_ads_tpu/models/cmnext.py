@@ -34,6 +34,7 @@ class CMNeXt(nn.Module):
     # overrides for the backbone (tests / ablations), e.g. tiny dims
     backbone_kwargs: Optional[Any] = None
     head_dims: Tuple[int, int] = (512, 256)  # fused, aux (reference cmnext.py:20-22)
+    head_drop: float = 0.1  # SegFormer head dropout (train mode)
 
     @nn.compact
     def __call__(
@@ -65,13 +66,16 @@ class CMNeXt(nn.Module):
             )
         else:
             y = SegFormerHead(
-                fused_dim, self.num_classes, dtype=self.dtype, name="decode_head"
+                fused_dim, self.num_classes, drop=self.head_drop,
+                dtype=self.dtype, name="decode_head"
             )(feats, train)
         y_rgb = SegFormerHead(
-            aux_dim, self.num_classes, dtype=self.dtype, name="decode_head_rgb"
+            aux_dim, self.num_classes, drop=self.head_drop,
+            dtype=self.dtype, name="decode_head_rgb"
         )(feats_rgb, train)
         y_dte = SegFormerHead(
-            aux_dim, self.num_classes, dtype=self.dtype, name="decode_head_dte"
+            aux_dim, self.num_classes, drop=self.head_drop,
+            dtype=self.dtype, name="decode_head_dte"
         )(feats_dte, train)
 
         y = resize_bilinear(y, size, align_corners=False)
