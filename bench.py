@@ -37,7 +37,11 @@ from ir_ads_tpu.utils.compile_cache import setup_compilation_cache
 
 setup_compilation_cache()
 
-EST_A100_PYTORCH_FPS = 57.0
+EST_A100_PYTORCH_FPS = 57.0  # round-1 conservative denominator (kept for
+# cross-round comparability; == the TOP of the sourced range)
+EST_A100_SOURCED_FPS = 19.5  # BASELINE.md "Sourced A100 denominator":
+# Swin paper V100 278 img/s anchor x A100/AMP/resolution/model-overhead
+# factors; range 12-34 fps
 
 IMAGE = (480, 640)
 TILE = (480, 640)  # reference sliding_predict uses tile = image size (val_mm.py:33)
@@ -127,9 +131,15 @@ CONFIGS.append(
 )
 
 
-def measure_data_loader(n_imgs: int = 24, batch: int = 4) -> float:
-    """Input-pipeline img/s with real JPEG/PNG decode through the train
-    augmentations (VERDICT r1 item 9).  Thread workers (the default)."""
+def measure_data_loader(n_imgs: int = 32, batch: int = 4) -> dict:
+    """Input-pipeline img/s with real JPEG/PNG decode (VERDICT r2 item 5):
+    the UNCACHED eval feed (decode + val transform, uint8 out, device-side
+    normalize — what feeds the headline eval cold) and the train-aug
+    pipeline.  Images have photographic statistics (noise JPEGs decode ~6x
+    slower than any real photo and made round-2 numbers unrepresentative).
+    NOTE: this container exposes ONE CPU core (os.cpu_count()==1) — the
+    numbers scale with cores on a real host; cpu_count is reported so the
+    denominator is explicit."""
     import sys
     import tempfile
 
@@ -138,7 +148,16 @@ def measure_data_loader(n_imgs: int = 24, batch: int = 4) -> float:
 
     with tempfile.TemporaryDirectory() as root:
         make_dataset_tree(root, n_imgs)
-        return measure(root, batch, workers=8, mode="thread", epochs=2)
+        return {
+            "eval_img_s": round(
+                measure(root, batch, workers=4, mode="thread", epochs=2,
+                        pipeline="eval"), 1,
+            ),
+            "train_img_s": round(
+                measure(root, batch, workers=8, mode="thread", epochs=2), 1
+            ),
+            "host_cpu_cores": os.cpu_count(),
+        }
 
 
 def measure_data_loader_cached(n_imgs: int = 32, batch: int = 4) -> float:
@@ -321,7 +340,7 @@ def main():
         roofline = None
 
     try:
-        data_ips = round(measure_data_loader(), 1)
+        data_ips = measure_data_loader()
     except Exception:
         data_ips = None
     try:
@@ -345,7 +364,15 @@ def main():
                     "dtype": "bfloat16",
                     **result,
                     "device": str(jax.devices()[0]),
-                    "baseline_note": "est. A100 PyTorch fp16 ~57 fps (no published number)",
+                    "baseline_note": (
+                        "vs_baseline uses the round-1 conservative 57 fps "
+                        "denominator; sourced central estimate is 19.5 fps "
+                        "[12-34] (BASELINE.md derivation from the Swin "
+                        "paper's published V100 throughput)"
+                    ),
+                    "vs_baseline_sourced": round(
+                        fps / EST_A100_SOURCED_FPS, 3
+                    ),
                     "data_loader_img_s": data_ips,
                     "data_loader_cached_img_s": data_cached_ips,
                     "roofline": roofline,

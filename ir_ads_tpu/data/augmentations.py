@@ -39,6 +39,8 @@ def _resize(
     ``box`` resamples only that source region (PIL resize(box=...)) — used
     by RandomResizedCrop to fuse resize+crop into one pass."""
     h, w = size
+    if box is None and arr.shape[:2] == (h, w):
+        return arr  # already at target size (eval at native resolution)
     if arr.ndim == 2:
         # label maps: uint8 "L" NEAREST is ~9x faster than int32 "I" and
         # selects identical source pixels (same geometry, narrower dtype)
