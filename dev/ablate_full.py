@@ -72,7 +72,15 @@ def main():
 
     if args.each:
         for tag in args.each.split(";"):
-            os.environ["IR_ADS_ABLATE"] = tag
+            # tag syntax: "ablate_tag[@KEY=VAL[@KEY=VAL...]]" — env vars
+            # after '@' are applied before this measurement and PERSIST for
+            # later tags (re-state them to sweep).  _measure rebuilds the
+            # model and retraces per tag, so trace-time env is honored.
+            parts = tag.split("@")
+            for kv in parts[1:]:
+                k, _, v = kv.partition("=")
+                os.environ[k] = v
+            os.environ["IR_ADS_ABLATE"] = parts[0]
             try:
                 _measure(args, tag)
             except Exception as e:

@@ -37,7 +37,20 @@ N = WS * WS
 rng = np.random.default_rng(0)
 
 
+def _envtag():
+    """Suffix the variant tag with the mask/bias env state."""
+    m8 = os.environ.get("IR_ADS_SWIN_MASK8", "0")
+    bm = os.environ.get("IR_ADS_SWIN_BIASMASK", "0")
+    s = ""
+    if m8 not in ("", "0"):
+        s += f"_mask8-{m8}"
+    if bm not in ("", "0"):
+        s += "_fold"
+    return s
+
+
 def time_fn(tag, fn, x):
+    tag = tag + _envtag()
     @functools.partial(jax.jit, static_argnums=(0,))
     def many(n, xx):
         def body(carry, _):
@@ -171,4 +184,14 @@ if __name__ == "__main__":
             v6_stage(2, p, shift=6)
             v6_stage(2, p, shift=0)
             v6_stage(3, p, shift=6)
+    if which in ("all", "mask8"):
+        # prebuilt neq-mask operand vs in-kernel region compare: the
+        # shifted/unshifted v4 delta (2.165 vs 0.165 ms) is ~all mask cost
+        for m8 in ("0", "1", "32"):
+            os.environ["IR_ADS_SWIN_MASK8"] = m8
+            os.environ["IR_ADS_SWIN_BIASMASK"] = "0"
+            v4_stage0("1", shift=6)
+            v6_stage(2, "1", shift=6)
+            v6_stage(3, "1", shift=6)
+        os.environ["IR_ADS_SWIN_MASK8"] = "0"
     print("R3KERNELS_DONE", flush=True)

@@ -558,6 +558,31 @@ def _biasmask_enabled() -> bool:
     return os.environ.get("IR_ADS_SWIN_BIASMASK", "0") not in ("", "0")
 
 
+def _mask8_enabled() -> str:
+    """IR_ADS_SWIN_MASK8 selects a PRECOMPUTED neq mask operand instead of
+    the in-kernel region-id compare.  The round-3 probe charged ~2.0 ms of
+    the 2.165 ms shifted stage-0 v4 call to the in-kernel
+    ``region[:, :, None] != region[:, None, :]`` build — a lane-broadcast
+    of an int vector, which Mosaic lowers as relayout passes.  The mask
+    depends only on static window geometry, so it can be built once in XLA
+    (fused, free) and DMA'd: (nW, N, N) int8 is 16x smaller than the
+    folded f32 bias slab that measured a loss.  '1'/'8' = int8 operand,
+    '32' = int32 (fallback if Mosaic dislikes 8-bit VMEM compares),
+    '' / '0' = off (round-2 in-kernel compare)."""
+    import os
+
+    v = os.environ.get("IR_ADS_SWIN_MASK8", "0")
+    if v in ("", "0"):
+        return ""
+    return "i32" if v == "32" else "i8"
+
+
+def _neq_mask(region_full: jax.Array, kind: str) -> jax.Array:
+    """(nW, N) region ids -> (nW, N, N) neq mask in i8/i32 (1 = masked)."""
+    neq = region_full[:, :, None] != region_full[:, None, :]
+    return neq.astype(jnp.int8 if kind == "i8" else jnp.int32)
+
+
 def _fold_bias_region(bias: jax.Array, region_full: jax.Array) -> jax.Array:
     """(heads, N, N) rel-pos bias + (nW, N) shift-region ids ->
     (nW, heads, N, N) f32 slab with -1e9 added at masked pairs.
@@ -782,13 +807,15 @@ def _attn_kernel_v4(
     x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
     region_ref, o_ref, outw_ref, *, eps, scale, heads, ws, nwin_w,
     hp, h_real, w_real, shift, packed=False, layout="tall", folded=False,
+    mask8=False,
 ):
     """One band of window rows, all heads.
 
     x: (1, rows*ws, Wp, C); g/b: (1, C) LN1; wqkv: (C, 3C); bqkv: (1, 3C);
     wp: (C, C); bp: (1, C); bias: (heads, N, N) f32 — or, when ``folded``,
     the per-window (1, G, heads, N, N) bias+mask slab (region_ref unused);
-    region: (1, G, N) int32; out: (1, rows*ws, Wp, C);
+    region: (1, G, N) int32 — or, when ``mask8``, the PREBUILT neq mask
+    (1, G, N, N) i8/i32 (see _mask8_enabled); out: (1, rows*ws, Wp, C);
     outw_ref: (G, N, C) VMEM scratch.
 
     hp/h_real/w_real/shift: static pad/roll geometry.  The module path runs
@@ -848,8 +875,11 @@ def _attn_kernel_v4(
             scale=scale, heads=heads, cdt=cdt, packed=packed, layout=layout,
         )
     else:
-        region = region_ref[0]
-        neq = region[:, :, None] != region[:, None, :]  # (G, N, N)
+        if mask8:
+            neq = region_ref[0] != 0  # prebuilt (G, N, N) mask
+        else:
+            region = region_ref[0]
+            neq = region[:, :, None] != region[:, None, :]  # (G, N, N)
         _heads_attention(
             qkvw, bias_ref[...], neq, outw_ref,
             scale=scale, heads=heads, cdt=cdt, packed=packed, layout=layout,
@@ -1055,11 +1085,27 @@ def pallas_window_block(
         bias_arg = bias.astype(jnp.float32)
         bias_spec = wspec(heads, n, n)
 
+    mask_kind = _mask8_enabled() if (region is not None and not folded) else ""
+    if mask_kind:
+        region_arg = _neq_mask(region_full, mask_kind).reshape(
+            n_bands, g, n, n
+        )
+        region_spec = pl.BlockSpec(
+            (1, g, n, n), lambda i, j: (j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        region_arg = region_banded
+        region_spec = pl.BlockSpec(
+            (1, g, n), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+        )
+
     out = pl.pallas_call(
         functools.partial(
             _attn_kernel_v4, eps=eps, scale=scale, heads=heads, ws=ws,
             nwin_w=nwin_w, hp=hp, h_real=h_real, w_real=w_real, shift=shift,
             packed=_packed_enabled(), layout=_packed_layout(), folded=folded,
+            mask8=bool(mask_kind),
         ),
         out_shape=jax.ShapeDtypeStruct((b, hp, wpx, c), x.dtype),
         grid=(b, n_bands),
@@ -1073,9 +1119,7 @@ def pallas_window_block(
             wspec(c, 3 * c), wspec(1, 3 * c),
             wspec(c, c), wspec(1, c),
             bias_spec,
-            pl.BlockSpec(
-                (1, g, n), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
-            ),
+            region_spec,
         ],
         out_specs=pl.BlockSpec(
             (1, rows_per_step * ws, wpx, c),
@@ -1090,7 +1134,7 @@ def pallas_window_block(
     )(
         x, vec(ln_scale), vec(ln_bias),
         wqkv.astype(cdt), vec(bqkv), wproj.astype(cdt), vec(bproj),
-        bias_arg, region_banded,
+        bias_arg, region_arg,
     )
     return out
 
@@ -1116,10 +1160,11 @@ def pallas_window_block(
 def _attn_kernel_v5(
     x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
     region_ref, o_ref, outw_ref, *, eps, scale, heads, ws, shift, hp, wp,
-    pack, layout="tall", folded=False,
+    pack, layout="tall", folded=False, mask8=False,
 ):
     """Grid: (B,).  x/o: (1, H, W, C) REAL maps; outw: (nW, N, C) scratch.
-    ``folded``: bias_ref is the (nW, heads, N, N) bias+mask slab."""
+    ``folded``: bias_ref is the (nW, heads, N, N) bias+mask slab.
+    ``mask8``: region_ref is the prebuilt (nW, N, N) i8/i32 neq mask."""
     x = x_ref[0]  # (H, W, C)
     h_, w_, c = x.shape
     n = ws * ws
@@ -1165,8 +1210,11 @@ def _attn_kernel_v5(
             scale=scale, heads=heads, cdt=cdt, packed=pack, layout=layout,
         )
     else:
-        region = region_ref[...]
-        neq = region[:, :, None] != region[:, None, :]  # (nW, N, N)
+        if mask8:
+            neq = region_ref[...] != 0  # prebuilt (nW, N, N) mask
+        else:
+            region = region_ref[...]
+            neq = region[:, :, None] != region[:, None, :]  # (nW, N, N)
         _heads_attention(
             qkvw, bias_ref[...], neq, outw_ref,
             scale=scale, heads=heads, cdt=cdt, packed=pack, layout=layout,
@@ -1196,7 +1244,7 @@ def _attn_kernel_v6(
     region_ref, g2_ref, b2_ref, w1_ref, b1_ref, w2_ref, b2f_ref,
     aw1_ref, ab1_ref, aw2_ref, ab2_ref, o_ref, outw_ref, *,
     eps, scale, heads, ws, shift, hp, wp, pack, adapter_scale,
-    layout="tall", folded=False,
+    layout="tall", folded=False, mask8=False,
 ):
     """v6 = v5 + the block tail: the ENTIRE Swin block (LN1 + qkv + W/SW-MSA
     + proj + residual + LN2 + FFN + adapter + residual) in one kernel — one
@@ -1241,8 +1289,11 @@ def _attn_kernel_v6(
             scale=scale, heads=heads, cdt=cdt, packed=pack, layout=layout,
         )
     else:
-        region = region_ref[...]
-        neq = region[:, :, None] != region[:, None, :]
+        if mask8:
+            neq = region_ref[...] != 0  # prebuilt (nW, N, N) mask
+        else:
+            region = region_ref[...]
+            neq = region[:, :, None] != region[:, None, :]
         _heads_attention(
             qkvw, bias_ref[...], neq, outw_ref,
             scale=scale, heads=heads, cdt=cdt, packed=pack, layout=layout,
@@ -1391,12 +1442,19 @@ def pallas_window_block_v6(
     else:
         bias_arg = bias.astype(jnp.float32)
         bias_spec = wspec(heads, n, n)
+    mask_kind = _mask8_enabled() if (region is not None and not folded) else ""
+    if mask_kind:
+        region_arg = _neq_mask(region_full, mask_kind)
+        region_spec = wspec(nw, n, n)
+    else:
+        region_arg = region_full
+        region_spec = wspec(nw, n)
     out = pl.pallas_call(
         functools.partial(
             _attn_kernel_v6, eps=eps, scale=scale, heads=heads, ws=ws,
             shift=shift, hp=hp, wp=wp, pack=pack,
             adapter_scale=adapter_scale, layout=_packed_layout(),
-            folded=folded,
+            folded=folded, mask8=bool(mask_kind),
         ),
         out_shape=jax.ShapeDtypeStruct((b, h_, w_, c), x.dtype),
         grid=(b,),
@@ -1409,7 +1467,7 @@ def pallas_window_block_v6(
             wspec(c, 3 * c), wspec(1, 3 * c),
             wspec(c, c), wspec(1, c),
             bias_spec,
-            wspec(nw, n),
+            region_spec,
             wspec(1, c), wspec(1, c),
             wspec(c, hidden), wspec(1, hidden),
             wspec(hidden, c), wspec(1, c),
@@ -1427,7 +1485,7 @@ def pallas_window_block_v6(
     )(
         x, vec(ln_s), vec(ln_b),
         wqkv.astype(cdt), vec(bqkv), wproj.astype(cdt), vec(bproj),
-        bias_arg, region_full,
+        bias_arg, region_arg,
         vec(g2), vec(b2),
         w1.astype(cdt), vec(b1), w2.astype(cdt), vec(b2f),
         *a_args,
@@ -1562,11 +1620,18 @@ def pallas_window_block_full(
     else:
         bias_arg = bias.astype(jnp.float32)
         bias_spec = wspec(heads, n, n)
+    mask_kind = _mask8_enabled() if (region is not None and not folded) else ""
+    if mask_kind:
+        region_arg = _neq_mask(region_full, mask_kind)
+        region_spec = wspec(nw, n, n)
+    else:
+        region_arg = region_full
+        region_spec = wspec(nw, n)
     out = pl.pallas_call(
         functools.partial(
             _attn_kernel_v5, eps=eps, scale=scale, heads=heads, ws=ws,
             shift=shift, hp=hp, wp=wp, pack=pack, layout=_packed_layout(),
-            folded=folded,
+            folded=folded, mask8=bool(mask_kind),
         ),
         out_shape=jax.ShapeDtypeStruct((b, h_, w_, c), x.dtype),
         grid=(b,),
@@ -1579,7 +1644,7 @@ def pallas_window_block_full(
             wspec(c, 3 * c), wspec(1, 3 * c),
             wspec(c, c), wspec(1, c),
             bias_spec,
-            wspec(nw, n),
+            region_spec,
         ],
         out_specs=pl.BlockSpec(
             (1, h_, w_, c), lambda i: (i, 0, 0, 0),
@@ -1593,7 +1658,7 @@ def pallas_window_block_full(
     )(
         x, vec(ln_scale), vec(ln_bias),
         wqkv.astype(cdt), vec(bqkv), wproj.astype(cdt), vec(bproj),
-        bias_arg, region_full,
+        bias_arg, region_arg,
     )
     return out
 

@@ -278,3 +278,63 @@ def test_wide_packed_no_shift(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(wide), np.asarray(ref), rtol=1e-5, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("kind", ["1", "32"])
+def test_mask8_precomputed_neq_bitwise(kind, monkeypatch):
+    """IR_ADS_SWIN_MASK8: the prebuilt i8/i32 neq-mask operand must be
+    BITWISE identical to the in-kernel region-id compare on v4, v5 and v6
+    (same where/softmax ops, only the mask's origin changes)."""
+    from ir_ads_tpu.ops.pallas_swin import (
+        pallas_window_block_full,
+        pallas_window_block_v6,
+    )
+    from tests.test_pallas_swin_v5 import (
+        _params as _params_v5,
+        _tail_params_v6,
+    )
+
+    ws = 4
+    key = jax.random.PRNGKey(31)
+    # v4 at 128-dim stage-0-like shape
+    c, heads = 128, 4
+    p = _params(key, c, heads, ws)
+    x = jax.random.normal(jax.random.PRNGKey(32), (2, 8, 8, c), jnp.float32)
+    region = jnp.asarray(shift_region_ids(8, 8, ws, 2))
+    args = [p[k] for k in ORDER]
+    scale = (c // heads) ** -0.5
+    monkeypatch.setenv("IR_ADS_SWIN_MASK8", "0")
+    base = pallas_window_block(
+        x, *args, region, scale, heads, ws, shift=2, interpret=True
+    )
+    monkeypatch.setenv("IR_ADS_SWIN_MASK8", kind)
+    got = pallas_window_block(
+        x, *args, region, scale, heads, ws, shift=2, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+    # v5 + v6 at a non-divisible map (pad/crop path)
+    c6, heads6 = 32, 2
+    attn = tuple(_params_v5(jax.random.PRNGKey(8), c6, heads6, ws))
+    tail = _tail_params_v6(jax.random.PRNGKey(9), c6, 64, 4)
+    x6 = jax.random.normal(
+        jax.random.PRNGKey(10), (2, 7, 6, c6), jnp.float32
+    )
+    region6 = jnp.asarray(shift_region_ids(8, 8, ws, 2))
+    scale6 = (c6 // heads6) ** -0.5
+    monkeypatch.setenv("IR_ADS_SWIN_MASK8", "0")
+    b6 = pallas_window_block_v6(
+        x6, attn, tail, region6, scale6, heads6, ws, shift=2, interpret=True
+    )
+    b5 = pallas_window_block_full(
+        x6, *attn, region6, scale6, heads6, ws, shift=2, interpret=True
+    )
+    monkeypatch.setenv("IR_ADS_SWIN_MASK8", kind)
+    g6 = pallas_window_block_v6(
+        x6, attn, tail, region6, scale6, heads6, ws, shift=2, interpret=True
+    )
+    g5 = pallas_window_block_full(
+        x6, *attn, region6, scale6, heads6, ws, shift=2, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(g6), np.asarray(b6))
+    np.testing.assert_array_equal(np.asarray(g5), np.asarray(b5))
