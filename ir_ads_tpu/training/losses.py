@@ -13,6 +13,24 @@ import jax
 import jax.numpy as jnp
 
 
+def _label_onehot(labels: jax.Array, num_classes: int) -> jax.Array:
+    """Bool (..., C) one-hot via iota compare — NO gather.  A
+    take_along_axis over the class dim lowers to 1.2M scalar gathers at
+    (4, 480, 640, 40) and profiled 26 ms per loss term on v5e (79 ms of a
+    337 ms train step across the three MMST heads); the dense compare
+    fuses into the log_softmax pass."""
+    classes = jax.lax.broadcasted_iota(
+        jnp.int32, (*labels.shape, num_classes), labels.ndim
+    )
+    return classes == labels[..., None]
+
+
+def _select_label_logit(logp: jax.Array, labels: jax.Array) -> jax.Array:
+    """logp[..., labels] per pixel, gather-free (see _label_onehot)."""
+    onehot = _label_onehot(labels, logp.shape[-1])
+    return jnp.sum(jnp.where(onehot, logp, 0.0), axis=-1)
+
+
 def cross_entropy(
     logits: jax.Array,
     labels: jax.Array,
@@ -21,13 +39,15 @@ def cross_entropy(
 ) -> jax.Array:
     """Mean CE over non-ignored pixels (torch 'mean' reduction semantics:
     weighted sum / sum of weights)."""
-    num_classes = logits.shape[-1]
     valid = labels != ignore_label
     safe_labels = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = -_select_label_logit(logp, safe_labels)
     if class_weights is not None:
-        w = class_weights[safe_labels]
+        onehot = _label_onehot(safe_labels, logp.shape[-1])
+        w = jnp.sum(
+            jnp.where(onehot, class_weights.astype(jnp.float32), 0.0), -1
+        )
     else:
         w = jnp.ones_like(nll)
     w = jnp.where(valid, w, 0.0)
@@ -52,7 +72,7 @@ def ohem_cross_entropy(
     valid = (labels != ignore_label).reshape(-1)
     safe_labels = jnp.where(labels != ignore_label, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = -_select_label_logit(logp, safe_labels)
     nll = jnp.where(labels != ignore_label, nll, 0.0).reshape(-1)
 
     loss_thresh = -jnp.log(jnp.asarray(thresh))
