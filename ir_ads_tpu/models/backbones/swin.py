@@ -399,24 +399,40 @@ class SwinBlockAdapter(nn.Module):
         if attn_impl == "auto":
             import os
 
+            # auto on TPU = the measured-best per-stage config (bench r5:
+            # banded v4 half-block kernels at the big-map stages 0-1 —
+            # whole-map kernels there blow up the remote-compile payload —
+            # and whole-block v6 kernels at 2-3)
             attn_impl = os.environ.get("IR_ADS_SWIN_ATTN", "") or (
-                "pallas" if jax.default_backend() == "tpu" else "xla"
+                "pallas4,pallas4,pallas6,pallas6"
+                if jax.default_backend() == "tpu"
+                else "xla"
             )
             if "," in attn_impl:
                 # per-stage list keyed by the explicit stage index (plumbed
-                # from SwinTransformer), e.g. "pallas4,pallas4,pallas6,
-                # pallas6": the whole-map v5/v6 kernels blow up the
-                # remote-compile payload at the big-map stages (0-1) but
-                # win at 2-3
+                # from SwinTransformer)
                 parts = [p.strip() for p in attn_impl.split(",")]
                 idx = max(0, min(self.stage_idx, len(parts) - 1))
                 attn_impl = parts[idx]
+        dp_branch = None  # set when a fused half-block needs drop-path
         if (
             attn_impl in ("pallas4", "pallas5", "pallas6")
             and not deterministic
         ):
-            # v4/v5/v6 are eval-only (dropout/drop-path need the module path)
-            attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+            # v6 fuses BOTH residuals + the adapter's internal dropout —
+            # module path only in train.  The HALF-block kernels (v4/v5)
+            # have exactly one residual: y = x + branch, so train-mode
+            # drop-path is exact by reconstruction,
+            #   x_out = x + drop_path(y - x),
+            # provided no dropout lives inside the fused half
+            # (proj_drop == drop_rate; the IR-ADS recipe sets it to 0).
+            if self.drop_rate == 0.0:
+                attn_impl = "pallas4"
+                dp_branch = True
+            else:
+                attn_impl = (
+                    "pallas" if jax.default_backend() == "tpu" else "xla"
+                )
 
         if attn_impl == "pallas6":
             # v6: the ENTIRE block (attention half + tail) as one kernel —
@@ -525,7 +541,25 @@ class SwinBlockAdapter(nn.Module):
                 y = jnp.roll(y, shift=(shift, shift), axis=(1, 2))
             if pad_b or pad_r:
                 y = y[:, :h_, :w_, :]
-            x = y
+            if dp_branch is not None:
+                # train: y = x + branch (kernel-fused residual).  Recover
+                # the branch and apply drop-path exactly as the module
+                # path's ShiftWindowMSA tail does.
+                branch = y - x
+                if drop_path_override is not None:
+                    from ir_ads_tpu.ops.layers import drop_path
+
+                    branch = drop_path(
+                        branch, drop_path_override, False,
+                        self.make_rng("dropout"),
+                    )
+                else:
+                    branch = DropPath(self.drop_path_rate)(
+                        branch, deterministic=deterministic
+                    )
+                x = x + branch
+            else:
+                x = y
         else:
             identity = x
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
@@ -1169,7 +1203,9 @@ class DAttentionMM(nn.Module):
             # levels 0-2, level 3's shape crashes Mosaic (see dev probe)
             import os
 
-            pk_env = os.environ.get("IR_ADS_DSCF_PACKED", "0")
+            # default = the measured-best per-level spec (levels 0-2 packed,
+            # level 3's whole-plane tile crashes Mosaic; bench r5)
+            pk_env = os.environ.get("IR_ADS_DSCF_PACKED", "1,1,1,0")
             if "," in pk_env:
                 pk_parts = pk_env.split(",")
                 pk_env = pk_parts[min(self.level, len(pk_parts) - 1)].strip()

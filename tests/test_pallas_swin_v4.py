@@ -338,3 +338,50 @@ def test_mask8_precomputed_neq_bitwise(kind, monkeypatch):
     )
     np.testing.assert_array_equal(np.asarray(g6), np.asarray(b6))
     np.testing.assert_array_equal(np.asarray(g5), np.asarray(b5))
+
+
+def test_train_mode_v4_drop_path_reconstruction(monkeypatch):
+    """Train-mode half-block kernels (round 3): with proj dropout 0 the v4
+    kernel runs in train via exact branch reconstruction
+    x + drop_path(y - x); fwd AND grads must match the module path at
+    drop-path rate 0 (nonzero rates differ only by the rng stream)."""
+    from ir_ads_tpu.models.backbones.swin import SwinBlockAdapter
+
+    monkeypatch.setenv("IR_ADS_PALLAS_INTERPRET", "1")
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 32))
+
+    def build(impl):
+        m = SwinBlockAdapter(
+            dim=32, num_heads=2, ffn_dim=64, window_size=4, shift=True,
+            drop_rate=0.0, drop_path_rate=0.0, attn_impl=impl, stage_idx=0,
+        )
+        return m
+
+    m_ref = build("xla")
+    v = m_ref.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(5)},
+        x, "rgb", False,
+    )
+    m4 = build("pallas4")
+
+    def f(m, p, xx):
+        return m.apply(
+            {"params": p}, xx, "rgb", False,
+            rngs={"dropout": jax.random.PRNGKey(5)},
+        )
+
+    y_ref = f(m_ref, v["params"], x)
+    y4 = f(m4, v["params"], x)
+    np.testing.assert_allclose(
+        np.asarray(y4), np.asarray(y_ref), rtol=2e-5, atol=2e-5
+    )
+    g_ref = jax.grad(lambda p: jnp.sum(f(m_ref, p, x) ** 2))(v["params"])
+    g4 = jax.grad(lambda p: jnp.sum(f(m4, p, x) ** 2))(v["params"])
+    for (path, want), (_, got) in zip(
+        jax.tree_util.tree_flatten_with_path(g_ref)[0],
+        jax.tree_util.tree_flatten_with_path(g4)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
