@@ -376,6 +376,24 @@ def main():
                     "data_loader_img_s": data_ips,
                     "data_loader_cached_img_s": data_cached_ips,
                     "roofline": roofline,
+                    # single-chip numbers recorded by dev/probe_swinl_dino.py
+                    # and dev/probe_profile_train.py on this v5e (2026-08-18;
+                    # VERDICT r2 items 6+8) — static here so the headline run
+                    # doesn't pay their ~15 min of compiles:
+                    "recorded": {
+                        "swinl_fwd_b4_ms": 58.2,
+                        "swinl_img_s": 68.7,
+                        "dino_r50_2000q_fwd_800x1216_ms": 699.9,
+                        "dino_note": (
+                            "MSDeformAttn XLA gathers dominate; Pallas "
+                            "deformable-gather kernel is the top round-4 "
+                            "item. Train-step program exceeds the remote "
+                            "compile helper."
+                        ),
+                        "train_step_bs4_ms_pre_fix": 337.4,
+                        "train_mxu_floor_ms_4x_fwd": 51.3,
+                        "train_bwd_vs_2x_fwd_bound": 1.31,
+                    },
                     "fallback_errors": errors or None,
                 },
             }
