@@ -528,22 +528,39 @@ def _heads_attention(
         outw_ref[:, :, h0 * d : h0 * d + pd] = o.astype(cdt)
 
 
-def _packed_enabled() -> bool:
+_STAGE_IDX: Optional[int] = None  # trace-time stage context (see below)
+
+
+def set_stage_idx(i: Optional[int]) -> None:
+    """Record the CURRENT Swin stage index at trace time so per-stage env
+    lists (IR_ADS_SWIN_PACKED="2,2,1,1") resolve inside the kernel
+    wrappers, which have no stage argument.  Set by SwinBlockAdapter right
+    before it dispatches to a fused kernel; consumed synchronously within
+    that same trace step, so plain module state is safe."""
+    global _STAGE_IDX
+    _STAGE_IDX = i
+
+
+def _packed_value() -> str:
     import os
 
-    return os.environ.get("IR_ADS_SWIN_PACKED", "1") not in ("", "0")
+    v = os.environ.get("IR_ADS_SWIN_PACKED", "1")
+    if "," in v:
+        parts = [p.strip() for p in v.split(",")]
+        i = _STAGE_IDX if _STAGE_IDX is not None else 0
+        return parts[max(0, min(i, len(parts) - 1))]
+    return v
+
+
+def _packed_enabled() -> bool:
+    return _packed_value() not in ("", "0")
 
 
 def _packed_layout() -> str:
     """IR_ADS_SWIN_PACKED=2 selects the head-minor "wide" score layout
-    (see _heads_attention); any other non-zero value keeps "tall"."""
-    import os
-
-    return (
-        "wide"
-        if os.environ.get("IR_ADS_SWIN_PACKED", "1") == "2"
-        else "tall"
-    )
+    (see _heads_attention); any other non-zero value keeps "tall".  A
+    comma list is keyed by the current stage (set_stage_idx)."""
+    return "wide" if _packed_value() == "2" else "tall"
 
 
 def _biasmask_enabled() -> bool:
