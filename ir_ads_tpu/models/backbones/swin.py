@@ -429,7 +429,7 @@ class SwinBlockAdapter(nn.Module):
         _psw.set_stage_idx(self.stage_idx)
         dp_branch = None  # set when a fused half-block needs drop-path
         if (
-            attn_impl in ("pallas4", "pallas5", "pallas6")
+            attn_impl in ("pallas4", "pallas5", "pallas6", "pallas7")
             and not deterministic
         ):
             # v6 fuses BOTH residuals + the adapter's internal dropout —
@@ -523,6 +523,59 @@ class SwinBlockAdapter(nn.Module):
                 x, s1, b1, wq, bq, wpj, bpj, bias, region,
                 scale, self.num_heads, ws, shift,
             )
+        elif attn_impl == "pallas7":
+            # v7 banded FULL block: the v4 attention half AND the block
+            # tail in one kernel — for the big-map stages where v6's
+            # whole-map scores don't fit VMEM.  Pad/roll stay in XLA (the
+            # tail is per-token, so running it in rolled coordinates before
+            # the un-roll/crop is exact at every real position).
+            from ir_ads_tpu.ops.pallas_swin import fused_window_block_v7
+
+            b_, h_, w_, cc = x.shape
+            ws = self.window_size
+            shift = ws // 2 if self.shift else 0
+            s1, b1 = _LNParams(cc, name="norm1")()
+            table, wq, bq, wpj, bpj = _ShiftWindowMSAParams(
+                cc, self.num_heads, ws, name="attn"
+            )()
+            scale = (cc // self.num_heads) ** -0.5
+            bias = (
+                bias_override if bias_override is not None
+                else gather_rel_pos_bias(table, ws, ws)
+            )
+            pad_b = (ws - h_ % ws) % ws
+            pad_r = (ws - w_ % ws) % ws
+            xm = x
+            if pad_b or pad_r:
+                xm = jnp.pad(xm, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+            hp, wp = h_ + pad_b, w_ + pad_r
+            region = None
+            if shift > 0:
+                xm = jnp.roll(xm, shift=(-shift, -shift), axis=(1, 2))
+                region = jnp.asarray(shift_region_ids(hp, wp, ws, shift))
+            attn_params = (s1, b1, wq, bq, wpj, bpj, bias)
+            ahid = int(cc * self.adapter_ratio)
+            s_ln, b_ln = _LNParams(cc, name="norm2")()
+            w1, bb1, w2, bb2 = _MlpParams(cc, self.ffn_dim, name="ffn")()
+            if sub_mode == "dual":
+                pr = _AdapterParams(cc, ahid, name="adapter_rgb")()
+                pd = _AdapterParams(cc, ahid, name="adapter_dte")()
+                tail_params = (
+                    s_ln, b_ln, w1, bb1, w2, bb2,
+                    *(jnp.stack([a, d]) for a, d in zip(pr, pd)),
+                )
+            else:
+                pa = _AdapterParams(cc, ahid, name=f"adapter_{sub_mode}")()
+                tail_params = (s_ln, b_ln, w1, bb1, w2, bb2, *pa)
+            y = fused_window_block_v7(
+                xm, attn_params, tail_params, region,
+                scale, self.num_heads, ws, h_, w_, shift,
+            )
+            if shift > 0:
+                y = jnp.roll(y, shift=(shift, shift), axis=(1, 2))
+            if pad_b or pad_r:
+                y = y[:, :h_, :w_, :]
+            return y
         elif attn_impl == "pallas4":
             # v4 fused attention half-block (ops/pallas_swin.py): one HBM
             # read of x, one write of y = x + proj(attn(qkv(LN1(x)))) —

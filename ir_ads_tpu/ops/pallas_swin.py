@@ -1829,3 +1829,332 @@ def _fused_block_bwd(scale, heads, ws, h_real, w_real, shift, res, g):
 
 
 fused_window_block.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
+# --------------------------------------------------------------------------
+# v7 kernel: banded FULL block for the big-map stages — the v4 attention
+# half (one band of window rows per grid step) immediately followed by the
+# block tail (LN2 + FFN + adapter + residual) in the same kernel, so the
+# attention-half output never round-trips HBM between the two kernels.
+# Unlike v6 the map does NOT need to fit VMEM (stage-0 480p scores at
+# pack=4 are ~46 MB whole-map — the reason v6 is gated to stages 2-3).
+#
+# The tail runs in ROLLED/PADDED coordinates: it is strictly per-token, so
+# tail(unroll(crop(y))) == unroll(crop(tail(y))) at every real position and
+# the padded/rolled positions are discarded by the XLA un-roll + crop that
+# follows (same as the v4 caller).  Numerics: the attention-half residual
+# is rounded to the map dtype BEFORE the tail (y2 below), making v7
+# bitwise the fused_window_block -> fused_block_tail composition it
+# replaces.
+# --------------------------------------------------------------------------
+
+
+def _attn_kernel_v7(
+    x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
+    region_ref, g2_ref, b2_ref, w1_ref, b1_ref, w2_ref, b2f_ref,
+    aw1_ref, ab1_ref, aw2_ref, ab2_ref, o_ref, outw_ref, *,
+    eps, scale, heads, ws, nwin_w, hp, h_real, w_real, shift, packed,
+    adapter_scale, layout="tall",
+):
+    """Grid: (B, n_bands).  x/o: (1, rows*ws, Wp, C) band of the
+    rolled/padded map; outw: (G, N, C) scratch.  Attention half identical
+    to _attn_kernel_v4 (plain region path), then the v6-style chunked tail
+    on the band rows."""
+    x = x_ref[0]  # (rh, wp, C)
+    rh, wpx, c = x.shape
+    rows = rh // ws
+    n = ws * ws
+    cdt = wqkv_ref.dtype
+
+    xf = x.reshape(rh * wpx, c).astype(jnp.float32)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    xn = xc * jax.lax.rsqrt(var + eps)
+    xn = xn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    if h_real != hp or w_real != wpx:
+        j = pl.program_id(1)
+        f = jax.lax.broadcasted_iota(jnp.int32, (rh * wpx, 1), 0)
+        row = j * rh + f // wpx
+        col = f % wpx
+        pad = jnp.logical_or(
+            (row + shift) % hp >= h_real, (col + shift) % wpx >= w_real
+        )
+        xn = jnp.where(pad, 0.0, xn)
+    xn = xn.astype(cdt)
+
+    qkv = jax.lax.dot_general(
+        xn, wqkv_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[...].astype(jnp.float32)
+    qkv = qkv.astype(cdt)
+    qkvw = (
+        qkv.reshape(rows, ws, nwin_w, ws, 3 * c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(rows * nwin_w, n, 3 * c)
+    )
+    region = region_ref[0]
+    neq = region[:, :, None] != region[:, None, :]  # (G, N, N)
+    _heads_attention(
+        qkvw, bias_ref[...], neq, outw_ref,
+        scale=scale, heads=heads, cdt=cdt, packed=packed, layout=layout,
+    )
+    att = (
+        outw_ref[...]
+        .reshape(rows, nwin_w, ws, ws, c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(rh * wpx, c)
+    )
+    out = jax.lax.dot_general(
+        att, wp_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bp_ref[...].astype(jnp.float32)
+    # round the attention-half residual like the v4 kernel output so the
+    # tail sees EXACTLY what the two-kernel composition saw
+    y2 = (xf + out).astype(o_ref.dtype)
+
+    hw = rh * wpx
+    chunk = 2048 if hw > 2048 else hw
+    aw1 = aw1_ref[...] if aw1_ref.ndim == 2 else aw1_ref[0]
+    ab1 = ab1_ref[...] if ab1_ref.ndim == 2 else ab1_ref[0]
+    aw2 = aw2_ref[...] if aw2_ref.ndim == 2 else aw2_ref[0]
+    ab2 = ab2_ref[...] if ab2_ref.ndim == 2 else ab2_ref[0]
+    outs = []
+    for r0 in range(0, hw, chunk):
+        r1 = min(r0 + chunk, hw)
+        yb = y2[r0:r1]
+        ybf = yb.astype(jnp.float32)
+        mu2 = jnp.mean(ybf, axis=1, keepdims=True)
+        yc = ybf - mu2
+        var2 = jnp.mean(yc * yc, axis=1, keepdims=True)
+        yn = yc * jax.lax.rsqrt(var2 + eps)
+        yn = (
+            yn * g2_ref[...].astype(jnp.float32)
+            + b2_ref[...].astype(jnp.float32)
+        ).astype(cdt)
+        hdn = jax.lax.dot_general(
+            yn, w1_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[...].astype(jnp.float32)
+        hdn = jax.nn.gelu(hdn, approximate=True).astype(cdt)
+        ffn = jax.lax.dot_general(
+            hdn, w2_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2f_ref[...].astype(jnp.float32)
+        a = jax.lax.dot_general(
+            yb, aw1,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + ab1.astype(jnp.float32)
+        a = jnp.maximum(a, 0.0).astype(cdt)
+        a = jax.lax.dot_general(
+            a, aw2,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + ab2.astype(jnp.float32)
+        outs.append((ybf + ffn + adapter_scale * a).astype(o_ref.dtype))
+    o_ref[0] = (
+        outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    ).reshape(rh, wpx, c)
+
+
+def pallas_window_block_v7(
+    x: jax.Array,          # (B, Hp, Wp, C) rolled/padded map
+    attn_params,           # (ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias)
+    tail_params,           # (ln2_s, ln2_b, w1, b1, w2, b2, aw1, ab1, aw2, ab2)
+    region: Optional[jax.Array],
+    scale: float,
+    heads: int,
+    ws: int,
+    h_real: Optional[int] = None,
+    w_real: Optional[int] = None,
+    shift: int = 0,
+    eps: float = 1e-5,
+    adapter_scale: float = 0.5,
+    rows_per_step: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """v7: banded v4 attention half + the block tail in one kernel."""
+    import os
+
+    interpret = interpret or os.environ.get("IR_ADS_PALLAS_INTERPRET") == "1"
+    b, hp, wpx, c = x.shape
+    h_real = hp if h_real is None else h_real
+    w_real = wpx if w_real is None else w_real
+    n = ws * ws
+    nwin_h, nwin_w = hp // ws, wpx // ws
+    if rows_per_step is None:
+        want = int(os.environ.get("IR_ADS_SWIN_V4_ROWS", "2"))
+        rows_per_step = max(
+            cd for cd in range(1, nwin_h + 1)
+            if nwin_h % cd == 0 and cd <= want
+        )
+    g = rows_per_step * nwin_w
+    region_full = (
+        jnp.zeros((nwin_h * nwin_w, n), jnp.int32) if region is None
+        else region
+    )
+    n_bands = nwin_h // rows_per_step
+    region_banded = region_full.reshape(n_bands, g, n)
+
+    ln_s, ln_b, wqkv, bqkv, wproj, bproj, bias = attn_params
+    g2, b2, w1, b1, w2, b2f, aw1, ab1, aw2, ab2 = tail_params
+    hidden = w1.shape[1]
+    ca = aw1.shape[-1]
+    cdt = x.dtype
+    vec = lambda v: v.reshape(1, -1).astype(cdt)  # noqa: E731
+
+    def wspec(*shape):
+        return pl.BlockSpec(
+            shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    if aw1.ndim == 3:
+        # per-stream stacked adapters: grid step i -> stream i // (b // S)
+        s_n = aw1.shape[0]
+        assert b % s_n == 0, (b, s_n)
+        half = b // s_n
+
+        def aspec(*shape):
+            return pl.BlockSpec(
+                (1, *shape),
+                lambda i, j, half=half: (i // half,) + (0,) * len(shape),
+                memory_space=pltpu.VMEM,
+            )
+
+        a_specs = [aspec(c, ca), aspec(1, ca), aspec(ca, c), aspec(1, c)]
+        a_args = [
+            aw1.astype(cdt),
+            ab1.reshape(s_n, 1, -1).astype(cdt),
+            aw2.astype(cdt),
+            ab2.reshape(s_n, 1, -1).astype(cdt),
+        ]
+    else:
+        a_specs = [wspec(c, ca), wspec(1, ca), wspec(ca, c), wspec(1, c)]
+        a_args = [aw1.astype(cdt), vec(ab1), aw2.astype(cdt), vec(ab2)]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_kernel_v7, eps=eps, scale=scale, heads=heads, ws=ws,
+            nwin_w=nwin_w, hp=hp, h_real=h_real, w_real=w_real, shift=shift,
+            packed=_packed_enabled(), layout=_packed_layout(),
+            adapter_scale=adapter_scale,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wpx, c), x.dtype),
+        grid=(b, n_bands),
+        in_specs=[
+            pl.BlockSpec(
+                (1, rows_per_step * ws, wpx, c),
+                lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            wspec(1, c), wspec(1, c),
+            wspec(c, 3 * c), wspec(1, 3 * c),
+            wspec(c, c), wspec(1, c),
+            wspec(heads, n, n),
+            pl.BlockSpec(
+                (1, g, n), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+            ),
+            wspec(1, c), wspec(1, c),
+            wspec(c, hidden), wspec(1, hidden),
+            wspec(hidden, c), wspec(1, c),
+            *a_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows_per_step * ws, wpx, c),
+            lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((g, n, c), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        x, vec(ln_s), vec(ln_b),
+        wqkv.astype(cdt), vec(bqkv), wproj.astype(cdt), vec(bproj),
+        bias.astype(jnp.float32), region_banded,
+        vec(g2), vec(b2),
+        w1.astype(cdt), vec(b1), w2.astype(cdt), vec(b2f),
+        *a_args,
+    )
+    return out
+
+
+def _block_v7_reference(
+    x, attn_params, tail_params, region, scale, heads, ws, h_real, w_real,
+    shift=0, eps=1e-5, adapter_scale=0.5,
+):
+    """XLA twin of v7: the v4 twin followed by the tail twin, both on the
+    rolled/padded map (tail in rolled coordinates, like the kernel)."""
+    from ir_ads_tpu.ops.pallas_mlp import block_tail_reference
+
+    y = _block_reference(
+        x, *attn_params, region, scale, heads, ws,
+        h_real=h_real, w_real=w_real, shift=shift, eps=eps,
+    )
+    b, hp, wpx, c = y.shape
+    g2, b2, w1, b1, w2, b2f, aw1, ab1, aw2, ab2 = tail_params
+    if aw1.ndim == 3:
+        s_n = aw1.shape[0]
+        half = b // s_n
+        out = jnp.concatenate(
+            [
+                block_tail_reference(
+                    y[i * half : (i + 1) * half].reshape(-1, c),
+                    g2, b2, w1, b1, w2, b2f,
+                    aw1[i], ab1[i], aw2[i], ab2[i],
+                    eps=eps, adapter_scale=adapter_scale,
+                )
+                for i in range(s_n)
+            ],
+            axis=0,
+        )
+    else:
+        out = block_tail_reference(
+            y.reshape(-1, c), *tail_params, eps=eps,
+            adapter_scale=adapter_scale,
+        )
+    return out.reshape(b, hp, wpx, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def fused_window_block_v7(
+    x, attn_params, tail_params, region, scale, heads, ws, h_real, w_real,
+    shift=0,
+):
+    """v7 Pallas forward + XLA-recompute backward."""
+    return pallas_window_block_v7(
+        x, attn_params, tail_params, region, scale, heads, ws,
+        h_real=h_real, w_real=w_real, shift=shift,
+    )
+
+
+def _fused_v7_fwd(x, attn_params, tail_params, region, scale, heads, ws,
+                  h_real, w_real, shift):
+    out = pallas_window_block_v7(
+        x, attn_params, tail_params, region, scale, heads, ws,
+        h_real=h_real, w_real=w_real, shift=shift,
+    )
+    return out, (x, attn_params, tail_params, region)
+
+
+def _fused_v7_bwd(scale, heads, ws, h_real, w_real, shift, res, g):
+    x, attn_params, tail_params, region = res
+    _, vjp = jax.vjp(
+        lambda xx, ap, tp: _block_v7_reference(
+            xx, ap, tp, region, scale, heads, ws, h_real, w_real,
+            shift=shift,
+        ),
+        x, attn_params, tail_params,
+    )
+    dx, dap, dtp = vjp(g)
+    dregion = None if region is None else jnp.zeros_like(region)
+    return dx, dap, dtp, dregion
+
+
+fused_window_block_v7.defvjp(_fused_v7_fwd, _fused_v7_bwd)
