@@ -1280,21 +1280,33 @@ def _attn_kernel_v6(
     var = jnp.mean(xc * xc, axis=1, keepdims=True)
     xn = xc * jax.lax.rsqrt(var + eps)
     xn = xn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
-    xn = xn.astype(cdt).reshape(h_, w_, c)
-    if wp != w_:
-        xn = jnp.concatenate([xn, jnp.zeros((h_, wp - w_, c), cdt)], axis=1)
-    if hp != h_:
-        xn = jnp.concatenate([xn, jnp.zeros((hp - h_, wp, c), cdt)], axis=0)
-    if shift:
-        xn = jnp.concatenate([xn[shift:], xn[:shift]], axis=0)
-        xn = jnp.concatenate([xn[:, shift:], xn[:, :shift]], axis=1)
+    xn = xn.astype(cdt)
 
+    # qkv on REAL tokens only, pad the qkv map with the bias row after.
+    # The padded-map formulation projected zero rows too — 44% extra qkv
+    # FLOPs at stage 2 (36x48 vs 30x40) and 92% at stage 3 (24x24 vs
+    # 15x20).  A padded row's projection is exactly dot(0, W) + b = b, so
+    # padding the OUTPUT with the (compute-dtype) bias row is bitwise the
+    # old result; the roll then moves the 3C-wide map (a VMEM relayout,
+    # ~0.2us/call, vs ~4-9us of dead MXU work saved).
     qkv = jax.lax.dot_general(
-        xn.reshape(hp * wp, c), wqkv_ref[...],
+        xn.reshape(h_ * w_, c), wqkv_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bqkv_ref[...].astype(jnp.float32)
-    qkv = qkv.astype(cdt)
+    qkv = qkv.astype(cdt).reshape(h_, w_, 3 * c)
+    bpad = bqkv_ref[...].astype(cdt).reshape(1, 1, 3 * c)
+    if wp != w_:
+        qkv = jnp.concatenate(
+            [qkv, jnp.broadcast_to(bpad, (h_, wp - w_, 3 * c))], axis=1
+        )
+    if hp != h_:
+        qkv = jnp.concatenate(
+            [qkv, jnp.broadcast_to(bpad, (hp - h_, wp, 3 * c))], axis=0
+        )
+    if shift:
+        qkv = jnp.concatenate([qkv[shift:], qkv[:shift]], axis=0)
+        qkv = jnp.concatenate([qkv[:, shift:], qkv[:, :shift]], axis=1)
     qkvw = (
         qkv.reshape(hp // ws, ws, nwin_w, ws, 3 * c)
         .transpose(0, 2, 1, 3, 4)
@@ -1336,8 +1348,17 @@ def _attn_kernel_v6(
     )  # (HW, C) f32 — the attention-half residual
 
     # ---- block tail (same math as ops/pallas_mlp._tail_kernel), chunked --
+    # Chunk size trades f32 hidden-buffer VMEM against MXU/VPU overlap:
+    # with >1 chunk, chunk i's GELU (transcendental VPU work, ~20 slots/
+    # element) can overlap chunk i+1's FFN dot in Mosaic's schedule.  All
+    # tail ops are row-wise, so any chunking is bitwise-identical.
+    import os as _os
+
     hw = h_ * w_
-    chunk = 2048 if hw > 2048 else hw
+    chunk = int(_os.environ.get("IR_ADS_V6_CHUNK", "0") or 0)
+    if chunk <= 0:
+        chunk = 2048
+    chunk = min(chunk, hw)
     outs = []
     for r0 in range(0, hw, chunk):
         r1 = min(r0 + chunk, hw)
