@@ -270,6 +270,31 @@ class PatchEmbed(nn.Module):
         return x
 
 
+class _LNScaleBias(nn.Module):
+    """Bare LayerNorm params (same names/init as nn.LayerNorm)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return s, b
+
+
+class _DenseKernel(nn.Module):
+    """Bare no-bias Dense params (same name/init as nn.Dense)."""
+
+    shape: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape
+        )
+        return (k,)
+
+
 class PatchMerging(nn.Module):
     """2x2 patch merging: norm(concat 2x2 neighborhood) -> linear reduction.
 
@@ -285,12 +310,51 @@ class PatchMerging(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        import os
+
         b, h, w, c = x.shape
         x = adaptive_pad(x, (2, 2), (2, 2), "corner")
         hp, wp = x.shape[1], x.shape[2]
+        x6 = x.reshape(b, hp // 2, 2, wp // 2, 2, c)
+        if os.environ.get("IR_ADS_MERGE", "") == "slice" and self.use_norm:
+            # Transpose-free form (IR_ADS_MERGE=slice): the 6-D
+            # (B,H/2,2,W/2,2,C) -> (B,H/2,W/2,4C) relayout materializes in
+            # f32 on TPU (XLA fuses the LayerNorm upcast into the copy —
+            # ~2.5 ms/forward at 480p B=8).  Instead: LN statistics over
+            # the 2x2xC neighborhood by reducing the UNtransposed array,
+            # then the (4C -> out) reduction matmul split into the four
+            # (ky, kx) channel slices (torch-unfold order: channel index
+            # c*4 + ky*2 + kx), each normalized inline.  Identical math up
+            # to fp reassociation (stats regrouped; per-slice f32-
+            # accumulated dots summed in f32); param tree unchanged.
+            gma, bta = _LNScaleBias(4 * c, name="norm")()
+            (wk,) = _DenseKernel((4 * c, self.out_dim), name="reduction")()
+            cdt = self.dtype or x.dtype
+            g4 = gma.reshape(c, 2, 2).astype(jnp.float32)
+            b4 = bta.reshape(c, 2, 2).astype(jnp.float32)
+            w4 = wk.reshape(c, 2, 2, self.out_dim).astype(cdt)
+            xf = x6.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=(2, 4, 5), keepdims=True)
+            var = jnp.mean((xf - mu) ** 2, axis=(2, 4, 5), keepdims=True)
+            inv = jax.lax.rsqrt(var + 1e-5)
+            out = None
+            for ky in range(2):
+                for kx in range(2):
+                    xs = xf[:, :, ky, :, kx, :]  # (B, H2, W2, C)
+                    ns = (
+                        (xs - mu[:, :, 0, :, 0]) * inv[:, :, 0, :, 0]
+                    ) * g4[None, None, None, :, ky, kx] + b4[
+                        None, None, None, :, ky, kx
+                    ]
+                    part = jax.lax.dot_general(
+                        ns.astype(cdt), w4[:, ky, kx, :],
+                        dimension_numbers=(((3,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    out = part if out is None else out + part
+            return out.astype(cdt)
         # (B, H/2, 2, W/2, 2, C) -> (B, H/2, W/2, C, 2, 2): channel-major order
-        x = x.reshape(b, hp // 2, 2, wp // 2, 2, c)
-        x = x.transpose(0, 1, 3, 5, 2, 4).reshape(b, hp // 2, wp // 2, c * 4)
+        x = x6.transpose(0, 1, 3, 5, 2, 4).reshape(b, hp // 2, wp // 2, c * 4)
         if self.use_norm:
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(

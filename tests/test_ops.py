@@ -157,6 +157,36 @@ def test_patch_merging_matches_torch_unfold_order():
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
 
 
+def test_patch_merging_slice_path_matches_default(monkeypatch):
+    """IR_ADS_MERGE=slice (transpose-free LN+reduction) == default path.
+
+    Same params, same math up to fp reassociation: LN stats are computed by
+    reducing the untransposed (B,H/2,2,W/2,2,C) array and the 4C reduction
+    matmul is split into four per-(ky,kx) channel-slice dots summed in f32.
+    """
+    from ir_ads_tpu.ops import PatchMerging
+
+    rng = np.random.RandomState(11)
+    x = rng.randn(2, 9, 11, 8).astype(np.float32)  # odd H/W: exercises pad
+    pm = PatchMerging(out_dim=16, use_norm=True)
+    params = pm.init(jax.random.PRNGKey(3), jnp.asarray(x))
+    base = np.asarray(pm.apply(params, jnp.asarray(x)))
+
+    monkeypatch.setenv("IR_ADS_MERGE", "slice")
+    ours = np.asarray(pm.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, base, atol=2e-5, rtol=2e-5)
+
+    # bf16 compute dtype too (the production configuration)
+    pmb = PatchMerging(out_dim=16, use_norm=True, dtype=jnp.bfloat16)
+    xb = jnp.asarray(x, jnp.bfloat16)
+    monkeypatch.delenv("IR_ADS_MERGE")
+    baseb = np.asarray(pmb.apply(params, xb), np.float32)
+    monkeypatch.setenv("IR_ADS_MERGE", "slice")
+    oursb = np.asarray(pmb.apply(params, xb), np.float32)
+    scale = np.abs(baseb).max()
+    assert np.abs(oursb - baseb).max() <= 0.03 * scale
+
+
 @pytest.mark.parametrize("align", [True, False])
 def test_resize_bilinear_matches_torch(align):
     rng = np.random.RandomState(5)
