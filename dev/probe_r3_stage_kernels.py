@@ -46,6 +46,9 @@ def _envtag():
         s += f"_mask8-{m8}"
     if bm not in ("", "0"):
         s += "_fold"
+    q = os.environ.get("IR_ADS_V6_QKV", "")
+    if q:
+        s += f"_qkv-{q}"
     return s
 
 
@@ -184,6 +187,16 @@ if __name__ == "__main__":
             v6_stage(2, p, shift=6)
             v6_stage(2, p, shift=0)
             v6_stage(3, p, shift=6)
+    if which in ("qkv",):
+        # fd54e38 A/B: qkv on real tokens + bias-row output pad ('real')
+        # vs zero-pad-first projection ('padded') — suspected 240x
+        # whole-forward regression (sweeps 2-3 on 2026-08-19).
+        for q in ("padded", "real"):
+            os.environ["IR_ADS_V6_QKV"] = q
+            for st in (2, 3):
+                for sh in (0, 6):
+                    v6_stage(st, "1", shift=sh)
+        os.environ.pop("IR_ADS_V6_QKV", None)
     if which in ("all", "mask8"):
         # prebuilt neq-mask operand vs in-kernel region compare: the
         # shifted/unshifted v4 delta (2.165 vs 0.165 ms) is ~all mask cost

@@ -161,6 +161,15 @@ def main():
             t0 = time.time()
             s2 = float(many(2, variables, rgb, dte))
             compile_s = time.time() - t0
+            # CRITICAL: warm the length-N executable too — n is a static
+            # argnum, so many(iters) is a DIFFERENT program whose first
+            # call pays ~100-440 s of remote compile.  The 2026-08-19
+            # sweeps skipped this and timed compilation: every variant
+            # read (compile_s/6) ≈ 15-25 "s/forward" while the device
+            # plane showed 77 ms.  bench.py always warmed both lengths.
+            t0 = time.time()
+            float(many(iters, variables, rgb, dte))
+            compile_s += time.time() - t0
             sN, ms, cal = None, None, 0.0
             for attempt in range(4):
                 cal = warm_device(calibrate, min_tflops, tries=6)

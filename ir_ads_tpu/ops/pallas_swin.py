@@ -1282,31 +1282,50 @@ def _attn_kernel_v6(
     xn = xn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
     xn = xn.astype(cdt)
 
-    # qkv on REAL tokens only, pad the qkv map with the bias row after.
-    # The padded-map formulation projected zero rows too — 44% extra qkv
-    # FLOPs at stage 2 (36x48 vs 30x40) and 92% at stage 3 (24x24 vs
-    # 15x20).  A padded row's projection is exactly dot(0, W) + b = b, so
-    # padding the OUTPUT with the (compute-dtype) bias row is bitwise the
-    # old result; the roll then moves the 3C-wide map (a VMEM relayout,
-    # ~0.2us/call, vs ~4-9us of dead MXU work saved).
-    qkv = jax.lax.dot_general(
-        xn.reshape(h_ * w_, c), wqkv_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bqkv_ref[...].astype(jnp.float32)
-    qkv = qkv.astype(cdt).reshape(h_, w_, 3 * c)
-    bpad = bqkv_ref[...].astype(cdt).reshape(1, 1, 3 * c)
-    if wp != w_:
-        qkv = jnp.concatenate(
-            [qkv, jnp.broadcast_to(bpad, (h_, wp - w_, 3 * c))], axis=1
-        )
-    if hp != h_:
-        qkv = jnp.concatenate(
-            [qkv, jnp.broadcast_to(bpad, (hp - h_, wp, 3 * c))], axis=0
-        )
-    if shift:
-        qkv = jnp.concatenate([qkv[shift:], qkv[:shift]], axis=0)
-        qkv = jnp.concatenate([qkv[:, shift:], qkv[:, :shift]], axis=1)
+    # qkv formulation knob (IR_ADS_V6_QKV): 'real' projects only the real
+    # tokens and pads the qkv OUTPUT with the bias row — dot(0, W) + b == b,
+    # so it is bitwise the padded form while skipping 44% dead qkv FLOPs at
+    # stage 2 (36x48 vs 30x40) and 92% at stage 3 (24x24 vs 15x20).
+    # 'padded' zero-pads the normalized map FIRST and projects the padded
+    # grid (the pre-r3 form).  Both are kept because Mosaic's lowering of
+    # the post-projection 3C-wide pad/roll concats is a measured variable.
+    import os as _os0
+
+    v6_qkv = _os0.environ.get("IR_ADS_V6_QKV", "real")
+    if v6_qkv == "real":
+        qkv = jax.lax.dot_general(
+            xn.reshape(h_ * w_, c), wqkv_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bqkv_ref[...].astype(jnp.float32)
+        qkv = qkv.astype(cdt).reshape(h_, w_, 3 * c)
+        bpad = bqkv_ref[...].astype(cdt).reshape(1, 1, 3 * c)
+        if wp != w_:
+            qkv = jnp.concatenate(
+                [qkv, jnp.broadcast_to(bpad, (h_, wp - w_, 3 * c))], axis=1
+            )
+        if hp != h_:
+            qkv = jnp.concatenate(
+                [qkv, jnp.broadcast_to(bpad, (hp - h_, wp, 3 * c))], axis=0
+            )
+        if shift:
+            qkv = jnp.concatenate([qkv[shift:], qkv[:shift]], axis=0)
+            qkv = jnp.concatenate([qkv[:, shift:], qkv[:, :shift]], axis=1)
+    else:
+        xp = xn.reshape(h_, w_, c)
+        if wp != w_:
+            xp = jnp.concatenate([xp, jnp.zeros((h_, wp - w_, c), cdt)], axis=1)
+        if hp != h_:
+            xp = jnp.concatenate([xp, jnp.zeros((hp - h_, wp, c), cdt)], axis=0)
+        if shift:
+            xp = jnp.concatenate([xp[shift:], xp[:shift]], axis=0)
+            xp = jnp.concatenate([xp[:, shift:], xp[:, :shift]], axis=1)
+        qkv = jax.lax.dot_general(
+            xp.reshape(hp * wp, c), wqkv_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bqkv_ref[...].astype(jnp.float32)
+        qkv = qkv.astype(cdt)
     qkvw = (
         qkv.reshape(hp // ws, ws, nwin_w, ws, 3 * c)
         .transpose(0, 2, 1, 3, 4)
