@@ -191,12 +191,17 @@ if __name__ == "__main__":
         # fd54e38 A/B: qkv on real tokens + bias-row output pad ('real')
         # vs zero-pad-first projection ('padded') — suspected 240x
         # whole-forward regression (sweeps 2-3 on 2026-08-19).
+        prev_qkv = os.environ.get("IR_ADS_V6_QKV")
         for q in ("padded", "real"):
             os.environ["IR_ADS_V6_QKV"] = q
             for st in (2, 3):
                 for sh in (0, 6):
                     v6_stage(st, "1", shift=sh)
-        os.environ.pop("IR_ADS_V6_QKV", None)
+        # restore the caller's override instead of dropping it (ADVICE r3)
+        if prev_qkv is None:
+            os.environ.pop("IR_ADS_V6_QKV", None)
+        else:
+            os.environ["IR_ADS_V6_QKV"] = prev_qkv
     if which in ("all", "mask8"):
         # prebuilt neq-mask operand vs in-kernel region compare: the
         # shifted/unshifted v4 delta (2.165 vs 0.165 ms) is ~all mask cost
