@@ -82,6 +82,10 @@ class DINODetector(nn.Module):
     box_noise_scale: float = 1.0
     max_gt: int = 20  # static GT padding
     use_remat: bool = False
+    # compile the encoder stack as one lax.scan over stacked layer params
+    # (see DINOTransformer.scan_layers); torch_import.stack_encoder_layers
+    # converts unrolled checkpoints to this layout
+    scan_layers: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -140,6 +144,7 @@ class DINODetector(nn.Module):
             num_classes=self.num_classes,
             dropout=0.0,
             use_remat=self.use_remat,
+            scan_layers=self.scan_layers,
             dtype=self.dtype,
             name="transformer",
         )(levels, dn_queries, dn_refs, attn_mask, deterministic=not train)

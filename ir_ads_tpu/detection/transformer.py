@@ -261,6 +261,40 @@ def make_output_proposals(
     return logit, valid
 
 
+class _EncoderScanStep(nn.Module):
+    """nn.scan body: ONE encoder layer per step with stacked params.
+
+    Six python-unrolled encoder layers emit six copies of the (large)
+    deformable-attention graph; at DINO production shapes the train-step
+    HLO exceeded the remote compile helper (BENCH_r03 dino_note).  Scanning
+    over stacked layer params compiles the layer body once.  Static
+    call-geometry (spatial shapes, determinism) lives on the module so the
+    scanned call signature carries arrays only."""
+
+    embed_dim: int
+    num_heads: int
+    ffn_dim: int
+    num_levels: int
+    spatial_shapes: Tuple[Tuple[int, int], ...]
+    dropout: float = 0.0
+    deterministic: bool = True
+    use_remat: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, memory, pos_embed, enc_ref):
+        layer = EncoderLayer
+        if self.use_remat:
+            layer = nn.remat(EncoderLayer, static_argnums=(4, 6))
+        memory = layer(
+            embed_dim=self.embed_dim, num_heads=self.num_heads,
+            ffn_dim=self.ffn_dim, num_levels=self.num_levels,
+            dropout=self.dropout, dtype=self.dtype, name="layer",
+        )(memory, pos_embed, enc_ref, self.spatial_shapes, None,
+          self.deterministic)
+        return memory, None
+
+
 class DINOTransformer(nn.Module):
     """Encoder + two-stage proposal selection + box-refining decoder.
 
@@ -286,6 +320,13 @@ class DINOTransformer(nn.Module):
     learnt_init_query: bool = True
     dropout: float = 0.0
     use_remat: bool = False
+    # scan_layers compiles the encoder stack as ONE lax.scan over stacked
+    # layer params (param tree: encoder_scan/layer/... with a leading
+    # num_encoder_layers axis) instead of encoder_{i}/... python unrolling.
+    # Cuts the HLO ~6x — required for the production-shape train step to
+    # fit the remote compile helper.  utils/torch_import stacks per-layer
+    # reference checkpoints into this layout (stack_encoder_layers).
+    scan_layers: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -327,12 +368,30 @@ class DINOTransformer(nn.Module):
             enc_layer_cls = nn.remat(EncoderLayer, static_argnums=(4, 6))
             dec_layer_cls = nn.remat(DecoderLayer, static_argnums=(5, 8))
 
-        for i in range(self.num_encoder_layers):
-            memory = enc_layer_cls(
+        if self.scan_layers:
+            scan_cls = nn.scan(
+                _EncoderScanStep,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=self.num_encoder_layers,
+            )
+            memory, _ = scan_cls(
                 embed_dim=c, num_heads=self.num_heads, ffn_dim=self.ffn_dim,
-                num_levels=self.num_levels, dropout=self.dropout,
-                dtype=self.dtype, name=f"encoder_{i}",
-            )(memory, pos_embed, enc_ref, spatial_shapes, None, deterministic)
+                num_levels=self.num_levels, spatial_shapes=spatial_shapes,
+                dropout=self.dropout, deterministic=deterministic,
+                use_remat=self.use_remat, dtype=self.dtype,
+                name="encoder_scan",
+            )(memory, pos_embed, enc_ref)
+        else:
+            for i in range(self.num_encoder_layers):
+                memory = enc_layer_cls(
+                    embed_dim=c, num_heads=self.num_heads,
+                    ffn_dim=self.ffn_dim, num_levels=self.num_levels,
+                    dropout=self.dropout, dtype=self.dtype,
+                    name=f"encoder_{i}",
+                )(memory, pos_embed, enc_ref, spatial_shapes, None,
+                  deterministic)
 
         # shared heads: [0..L-1] decoder layers, [L] encoder stage
         class_heads = [

@@ -538,3 +538,47 @@ def import_dino_state_dict(
         assign(params, ["seg_post_ln"], _norm(sd, "post_layernorm"))
 
     return {"params": params, "batch_stats": stats}, warnings
+
+
+def stack_encoder_layers(tr_params: dict) -> dict:
+    """Convert a DINOTransformer param tree from the unrolled
+    ``encoder_{i}/...`` layout to the scanned ``encoder_scan/layer/...``
+    layout (DINOTransformer.scan_layers=True): every leaf gains a leading
+    num_encoder_layers axis, stacked in layer order.
+
+    Works on the ``transformer`` subtree of either an imported reference
+    checkpoint or a flax-initialized unrolled model.  Returns a NEW dict;
+    the input is not mutated.
+    """
+    import jax
+
+    out = {k: v for k, v in tr_params.items()
+           if not k.startswith("encoder_") or k == "encoder_scan"}
+    names = sorted(
+        (k for k in tr_params if k.startswith("encoder_")
+         and k != "encoder_scan" and k.split("_")[-1].isdigit()),
+        key=lambda k: int(k.split("_")[-1]),
+    )
+    if not names:
+        return out
+    layers = [tr_params[k] for k in names]
+    out["encoder_scan"] = {
+        "layer": jax.tree.map(lambda *xs: np.stack(xs, axis=0), *layers)
+    }
+    return out
+
+
+def unstack_encoder_layers(tr_params: dict) -> dict:
+    """Inverse of :func:`stack_encoder_layers`."""
+    import jax
+
+    if "encoder_scan" not in tr_params:
+        return dict(tr_params)
+    out = {k: v for k, v in tr_params.items() if k != "encoder_scan"}
+    stacked = tr_params["encoder_scan"]["layer"]
+    n = jax.tree.leaves(stacked)[0].shape[0]
+    for i in range(n):
+        out[f"encoder_{i}"] = jax.tree.map(
+            lambda x, i=i: np.asarray(x[i]), stacked
+        )
+    return out

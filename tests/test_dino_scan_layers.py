@@ -1,0 +1,117 @@
+"""Scanned DINO encoder (scan_layers=True) must match the unrolled stack.
+
+The reference unrolls six python encoder layers
+(detrex/modeling/transformer.py via dino_transformer.py); the repo's
+production path compiles them as ONE lax.scan over stacked layer params so
+the train-step HLO fits the compile pipeline (VERDICT r3 item 3).  These
+tests pin the two layouts to each other: same params (restacked) -> same
+outputs, and the converter round-trips.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ir_ads_tpu.detection.transformer import DINOTransformer
+from ir_ads_tpu.utils.torch_import import (
+    stack_encoder_layers,
+    unstack_encoder_layers,
+)
+
+KW = dict(
+    embed_dim=32,
+    num_heads=4,
+    ffn_dim=64,
+    num_encoder_layers=3,
+    num_decoder_layers=2,
+    num_levels=2,
+    num_queries=12,
+    num_classes=5,
+)
+
+
+def _feats(key):
+    k1, k2 = jax.random.split(key)
+    return [
+        jax.random.normal(k1, (2, 8, 8, 32), jnp.float32),
+        jax.random.normal(k2, (2, 4, 4, 32), jnp.float32),
+    ]
+
+
+def test_scan_encoder_matches_unrolled():
+    feats = _feats(jax.random.PRNGKey(0))
+    unrolled = DINOTransformer(**KW, scan_layers=False)
+    scanned = DINOTransformer(**KW, scan_layers=True)
+    params = unrolled.init(jax.random.PRNGKey(1), feats)["params"]
+    stacked = stack_encoder_layers(params)
+
+    out_u = unrolled.apply({"params": params}, feats)
+    out_s = scanned.apply({"params": stacked}, feats)
+    for k in ("memory", "hidden_states", "references", "pred_logits",
+              "pred_boxes", "enc_class", "enc_coord"):
+        np.testing.assert_allclose(
+            np.asarray(out_u[k], np.float32),
+            np.asarray(out_s[k], np.float32),
+            rtol=2e-5, atol=2e-5, err_msg=k,
+        )
+
+
+def test_scan_param_tree_shape_matches_init():
+    """A scanned init produces exactly the tree stack_encoder_layers emits."""
+    feats = _feats(jax.random.PRNGKey(0))
+    unrolled = DINOTransformer(**KW, scan_layers=False)
+    scanned = DINOTransformer(**KW, scan_layers=True)
+    p_u = stack_encoder_layers(
+        unrolled.init(jax.random.PRNGKey(1), feats)["params"]
+    )
+    p_s = scanned.init(jax.random.PRNGKey(1), feats)["params"]
+    paths_u = {jax.tree_util.keystr(p): v.shape
+               for p, v in jax.tree_util.tree_flatten_with_path(p_u)[0]}
+    paths_s = {jax.tree_util.keystr(p): v.shape
+               for p, v in jax.tree_util.tree_flatten_with_path(p_s)[0]}
+    assert paths_u == paths_s
+
+
+def test_stack_unstack_roundtrip():
+    feats = _feats(jax.random.PRNGKey(0))
+    params = DINOTransformer(**KW).init(jax.random.PRNGKey(1), feats)["params"]
+    rt = unstack_encoder_layers(stack_encoder_layers(params))
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(rt)[0]
+    assert [jax.tree_util.keystr(p) for p, _ in flat_a] == [
+        jax.tree_util.keystr(p) for p, _ in flat_b
+    ]
+    for (_, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_scan_encoder_gradients_match():
+    feats = _feats(jax.random.PRNGKey(0))
+    unrolled = DINOTransformer(**KW, scan_layers=False)
+    scanned = DINOTransformer(**KW, scan_layers=True)
+    params = unrolled.init(jax.random.PRNGKey(1), feats)["params"]
+    stacked = stack_encoder_layers(params)
+
+    def loss_u(p):
+        out = unrolled.apply({"params": p}, feats)
+        return jnp.mean(out["pred_boxes"] ** 2) + jnp.mean(
+            out["pred_logits"] ** 2
+        )
+
+    def loss_s(p):
+        out = scanned.apply({"params": p}, feats)
+        return jnp.mean(out["pred_boxes"] ** 2) + jnp.mean(
+            out["pred_logits"] ** 2
+        )
+
+    g_u = stack_encoder_layers(jax.grad(loss_u)(params))
+    g_s = jax.grad(loss_s)(stacked)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=5e-4, atol=1e-5,
+        ),
+        g_u, g_s,
+    )
