@@ -111,6 +111,9 @@ def probe_dino(train=True):
         num_classes=20, num_queries=2000, embed_dim=256,
         num_encoder_layers=6, num_decoder_layers=6, num_levels=4,
         backbone_arch="resnet50", dn_number=100, max_gt=60,
+        # round-4: scan enc+dec stacks (6x smaller HLO) + Pallas
+        # deformable-gather sampling (IR_ADS_MSDEFORM auto->pallas on TPU)
+        scan_layers=os.environ.get("IR_ADS_DINO_SCAN", "1") == "1",
     )
     b, h, w = 1, 800, 1216
     imgs = jnp.ones((b, h, w, 3), jnp.float32) * 127.0

@@ -38,7 +38,37 @@ def ms_deform_attn(
     sampling_locations: jax.Array,  # (B, Lq, heads, levels, points, 2) in [0,1]
     attention_weights: jax.Array,  # (B, Lq, heads, levels, points)
 ) -> jax.Array:
-    """Returns (B, Lq, heads * head_dim)."""
+    """Returns (B, Lq, heads * head_dim).
+
+    Dispatch (IR_ADS_MSDEFORM env, read at trace time): 'pallas' runs the
+    round-4 dynamic-gather kernel (ops/pallas_msdeform.py — the TPU
+    replacement for the reference CUDA im2col kernel), 'xla' the gather
+    formulation below, 'auto' (default) picks pallas on TPU backends.
+    """
+    import os
+
+    impl = os.environ.get("IR_ADS_MSDEFORM", "auto")
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from ir_ads_tpu.ops.pallas_msdeform import ms_deform_attn_pallas
+
+        return ms_deform_attn_pallas(
+            value, tuple(map(tuple, spatial_shapes)),
+            sampling_locations, attention_weights,
+        )
+    return ms_deform_attn_xla(
+        value, spatial_shapes, sampling_locations, attention_weights
+    )
+
+
+def ms_deform_attn_xla(
+    value: jax.Array,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+) -> jax.Array:
+    """XLA-gather formulation (grid_sample per level); exact reference."""
     b, _, n_heads, head_dim = value.shape
     _, lq, _, n_levels, n_points, _ = sampling_locations.shape
     grids = 2 * sampling_locations - 1  # [0,1] -> [-1,1]

@@ -295,6 +295,66 @@ class _EncoderScanStep(nn.Module):
         return memory, None
 
 
+class _DecoderScanStep(nn.Module):
+    """nn.scan body: ONE box-refining decoder layer per step.
+
+    Carries (x, reference); per-layer params (DecoderLayer + its
+    bbox_embed/class_embed heads — per-layer in the reference too,
+    dino_transformer.py:213-228) are stacked by nn.scan.  The SHARED
+    modules (ref_point_head MLP, decoder_norm) arrive as broadcast param
+    pytrees and are applied functionally so their weights stay genuinely
+    shared (single copy, summed gradients) — stacking them would fork the
+    reference's tied weights."""
+
+    embed_dim: int
+    num_heads: int
+    ffn_dim: int
+    num_levels: int
+    num_classes: int
+    spatial_shapes: Tuple[Tuple[int, int], ...]
+    dropout: float = 0.0
+    deterministic: bool = True
+    use_remat: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, carry, memory, attn_mask, rp_params, norm_params):
+        x, reference = carry
+        c = self.embed_dim
+        ref_input = jnp.broadcast_to(
+            reference[:, :, None, :],
+            reference.shape[:2] + (self.num_levels, 4),
+        )
+        sine = get_sine_pos_embed(reference, c // 2)
+        query_pos = MLP(c, c, 2, dtype=self.dtype).apply(
+            {"params": rp_params}, sine
+        )
+        layer = DecoderLayer
+        if self.use_remat:
+            layer = nn.remat(DecoderLayer, static_argnums=(5, 8))
+        x = layer(
+            embed_dim=c, num_heads=self.num_heads, ffn_dim=self.ffn_dim,
+            num_levels=self.num_levels, dropout=self.dropout,
+            dtype=self.dtype, name="layer",
+        )(x, memory, query_pos, ref_input, self.spatial_shapes, attn_mask,
+          None, self.deterministic)
+        bbox_head = MLP(c, 4, 3, dtype=self.dtype, name="bbox_embed")
+        class_head = nn.Dense(
+            self.num_classes, dtype=self.dtype, name="class_embed"
+        )
+        delta = bbox_head(x)
+        new_reference = jax.nn.sigmoid(delta + inverse_sigmoid(reference))
+        normed = nn.LayerNorm(dtype=self.dtype).apply(
+            {"params": norm_params}, x
+        )
+        pred_box = jax.nn.sigmoid(
+            bbox_head(normed) + inverse_sigmoid(reference)
+        )
+        logits = class_head(normed)
+        carry = (x, jax.lax.stop_gradient(new_reference))
+        return carry, (normed, new_reference, pred_box, logits)
+
+
 class DINOTransformer(nn.Module):
     """Encoder + two-stage proposal selection + box-refining decoder.
 
@@ -393,15 +453,28 @@ class DINOTransformer(nn.Module):
                 )(memory, pos_embed, enc_ref, spatial_shapes, None,
                   deterministic)
 
-        # shared heads: [0..L-1] decoder layers, [L] encoder stage
-        class_heads = [
-            nn.Dense(self.num_classes, dtype=self.dtype, name=f"class_embed_{i}")
-            for i in range(self.num_decoder_layers + 1)
-        ]
-        bbox_heads = [
-            MLP(c, 4, 3, dtype=self.dtype, name=f"bbox_embed_{i}")
-            for i in range(self.num_decoder_layers + 1)
-        ]
+        # shared heads: [0..L-1] decoder layers, [L] encoder stage.  In
+        # scan mode the decoder-layer heads live inside decoder_scan
+        # (stacked); only the encoder-stage head is created here.
+        nl = self.num_decoder_layers
+        if self.scan_layers:
+            class_heads = {nl: nn.Dense(
+                self.num_classes, dtype=self.dtype, name=f"class_embed_{nl}"
+            )}
+            bbox_heads = {nl: MLP(
+                c, 4, 3, dtype=self.dtype, name=f"bbox_embed_{nl}"
+            )}
+        else:
+            class_heads = [
+                nn.Dense(
+                    self.num_classes, dtype=self.dtype, name=f"class_embed_{i}"
+                )
+                for i in range(nl + 1)
+            ]
+            bbox_heads = [
+                MLP(c, 4, 3, dtype=self.dtype, name=f"bbox_embed_{i}")
+                for i in range(nl + 1)
+            ]
 
         # two-stage proposals
         proposals_np, valid_np = make_output_proposals(spatial_shapes)
@@ -414,8 +487,8 @@ class DINOTransformer(nn.Module):
         output_memory = nn.LayerNorm(dtype=self.dtype, name="enc_output_norm")(
             output_memory
         )
-        enc_class = class_heads[-1](output_memory)  # (B, S, num_classes)
-        enc_coord_unact = bbox_heads[-1](output_memory) + proposals[None]
+        enc_class = class_heads[nl](output_memory)  # (B, S, num_classes)
+        enc_coord_unact = bbox_heads[nl](output_memory) + proposals[None]
 
         # top-k proposal selection (invalid tokens have -inf score via
         # proposals=inf -> mask the class scores instead)
@@ -452,6 +525,45 @@ class DINOTransformer(nn.Module):
 
         ref_point_head = MLP(c, c, 2, dtype=self.dtype, name="ref_point_head")
         decoder_norm = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")
+
+        if self.scan_layers:
+            # materializing calls so the SHARED params exist under their
+            # unrolled names (ref_point_head/decoder_norm); the results
+            # feed nothing and XLA dead-code-eliminates them
+            _ = ref_point_head(get_sine_pos_embed(reference, c // 2))
+            _ = decoder_norm(target)
+            rp_params = ref_point_head.variables["params"]
+            norm_params = decoder_norm.variables["params"]
+            dec_scan_cls = nn.scan(
+                _DecoderScanStep,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast,) * 4,
+                length=self.num_decoder_layers,
+            )
+            _, (hidden_stack, ref_stack, box_stack, logit_stack) = (
+                dec_scan_cls(
+                    embed_dim=c, num_heads=self.num_heads,
+                    ffn_dim=self.ffn_dim, num_levels=self.num_levels,
+                    num_classes=self.num_classes,
+                    spatial_shapes=spatial_shapes, dropout=self.dropout,
+                    deterministic=deterministic, use_remat=self.use_remat,
+                    dtype=self.dtype, name="decoder_scan",
+                )((target, reference), memory, attn_mask, rp_params,
+                  norm_params)
+            )
+            return {
+                "hidden_states": hidden_stack,
+                "references": ref_stack,
+                "init_reference": init_reference,
+                "enc_class": topk_class,
+                "enc_coord": jax.nn.sigmoid(topk_coords_unact),
+                "enc_state": target_unact,
+                "memory": memory,
+                "pred_logits": logit_stack,
+                "pred_boxes": box_stack,
+                "spatial_shapes": spatial_shapes,
+            }
 
         hidden_states, references, pred_boxes = [], [], []
         x = target

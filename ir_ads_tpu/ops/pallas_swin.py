@@ -407,6 +407,26 @@ def _heads_attention(
         p = min(p, packed)  # caller-capped pack factor (VMEM budget)
     while p > 1 and heads % p:
         p //= 2
+    # round-4 fused-normalize formulation (IR_ADS_V6_FUSEDNORM, default
+    # OFF — measured a LOSS in context): the round-4 knock-out probe
+    # (dev/probe_v6_itemize.py) measured the tall layout's per-call VPU
+    # overhead as qbd build 0.20 ms + softmax normalize 0.16 ms + output
+    # extract 0.14 ms of a 1.12 ms stage-2 call, and this path removes all
+    # three structurally — but the whole-model A/B (dev/ablate_full.py,
+    # r5 config, B=8 480x640, 2026-08-19) measured 72.75/73.05 ms with it
+    # OFF vs 75.94/77.68 ms ON: the sublane-concat Q build and the p
+    # masked multiply-adds on the output relayout WORSE than the tile +
+    # select they replace.  Kept opt-in (bitwise tests still cover both).
+    #   - block-diag Q is built as a sublane concat of p lane-masked copies
+    #     where the mask rides the mandatory *scale multiply (no tile +
+    #     select over (pN, pd));
+    #   - the PV dot consumes UNNORMALIZED bf16 exp scores (no full-size
+    #     (pN, N) divide);
+    #   - extraction and normalization fuse into p multiply-adds on the
+    #     (N, pd) output: o += o_full[block j] * (lane_mask_j / den_j).
+    import os as _osf
+
+    fused = _osf.environ.get("IR_ADS_V6_FUSEDNORM", "0") not in ("", "0")
     # folded-bias mode (neq is None): ``bias`` is a PER-WINDOW
     # (G, heads, N, N) f32 slab with the shift-region mask already added
     # (-1e9 at masked pairs) — built once per call in XLA.  This removes
@@ -429,16 +449,27 @@ def _heads_attention(
             maskf_w = (
                 maskf if p == 1 else jnp.concatenate([maskf] * p, axis=-1)
             )  # (G, N, pN)
+        lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, pd), 1) // d
         for h0 in range(0, heads, p):
             q = qkvw[:, :, h0 * d : h0 * d + pd]
             k = qkvw[:, :, c + h0 * d : c + h0 * d + pd]
             v = qkvw[:, :, 2 * c + h0 * d : 2 * c + h0 * d + pd]
-            k_bd = jnp.where(
-                sel[None], jnp.tile(k, (1, p, 1)), 0
-            ).astype(k.dtype)
-            v_bd = jnp.where(
-                sel[None], jnp.tile(v, (1, p, 1)), 0
-            ).astype(v.dtype)
+            if fused:
+                # block-diag K/V as sublane concats of lane-masked copies
+                # (no (pN, pd) tile + select materialization)
+                k_bd = jnp.concatenate(
+                    [(k * (lane_head == j).astype(k.dtype)[None])
+                     for j in range(p)], axis=1)
+                v_bd = jnp.concatenate(
+                    [(v * (lane_head == j).astype(v.dtype)[None])
+                     for j in range(p)], axis=1)
+            else:
+                k_bd = jnp.where(
+                    sel[None], jnp.tile(k, (1, p, 1)), 0
+                ).astype(k.dtype)
+                v_bd = jnp.where(
+                    sel[None], jnp.tile(v, (1, p, 1)), 0
+                ).astype(v.dtype)
             s = jax.lax.dot_general(
                 (q * scale).astype(q.dtype), k_bd,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -502,29 +533,60 @@ def _heads_attention(
     ).astype(jnp.float32)
     if not folded:
         neq_t = jnp.tile(neq, (1, p, 1))  # (G, pN, N)
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, pd), 1) // d
     for h0 in range(0, heads, p):
         q = qkvw[:, :, h0 * d : h0 * d + pd]
         k = qkvw[:, :, c + h0 * d : c + h0 * d + pd]
         v = qkvw[:, :, 2 * c + h0 * d : 2 * c + h0 * d + pd]
-        q_bd = jnp.where(sel[None], jnp.tile(q, (1, p, 1)), 0).astype(q.dtype)
-        s = jax.lax.dot_general(
-            (q_bd * scale).astype(q.dtype), k,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (G, pN, N) f32
+        if fused:
+            # lane-mask rides the mandatory *scale multiply: block-diag Q
+            # is a sublane concat of p masked-scaled copies of q
+            q_bd = jnp.concatenate(
+                [(q * jnp.where(lane_head == j, scale, 0.0)[None]
+                  ).astype(q.dtype) for j in range(p)], axis=1)
+            s = jax.lax.dot_general(
+                q_bd, k,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (G, pN, N) f32
+        else:
+            q_bd = jnp.where(
+                sel[None], jnp.tile(q, (1, p, 1)), 0).astype(q.dtype)
+            s = jax.lax.dot_general(
+                (q_bd * scale).astype(q.dtype), k,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (G, pN, N) f32
         if folded:
             # (G, p, N, N) -> (G, pN, N): leading-dim merge into sublanes
             s = s + bias[:, h0 : h0 + p].reshape(g_, p * n, n)
         else:
             s = s + bias[h0 : h0 + p].reshape(p * n, n)[None]
             s = jnp.where(neq_t, s - 1e9, s)
-        pr = jax.nn.softmax(s, axis=-1)
-        o_full = jax.lax.dot_general(
-            pr.astype(v.dtype), v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (G, pN, pd) f32
-        o = jnp.sum(o_full.reshape(g_, p, n, pd) * osel[None], axis=1)
+        if fused:
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            ex = jnp.exp(s - mx)  # f32 (G, pN, N)
+            den = jnp.sum(ex, axis=-1, keepdims=True)  # f32 (G, pN, 1)
+            o_full = jax.lax.dot_general(
+                ex.astype(v.dtype), v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (G, pN, pd) f32, unnormalized
+            r = 1.0 / jnp.maximum(den, 1e-30)
+            o = None
+            for j in range(p):
+                oj = o_full[:, j * n : (j + 1) * n, :]
+                rj = r[:, j * n : (j + 1) * n, :]
+                term = oj * (rj * (lane_head == j).astype(jnp.float32)[None])
+                o = term if o is None else o + term
+        else:
+            pr = jax.nn.softmax(s, axis=-1)
+            o_full = jax.lax.dot_general(
+                pr.astype(v.dtype), v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (G, pN, pd) f32
+            o = jnp.sum(o_full.reshape(g_, p, n, pd) * osel[None], axis=1)
         outw_ref[:, :, h0 * d : h0 * d + pd] = o.astype(cdt)
 
 

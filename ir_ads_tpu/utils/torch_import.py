@@ -582,3 +582,72 @@ def unstack_encoder_layers(tr_params: dict) -> dict:
             lambda x, i=i: np.asarray(x[i]), stacked
         )
     return out
+
+
+def stack_decoder_layers(tr_params: dict) -> dict:
+    """Convert a DINOTransformer param tree from the unrolled
+    ``decoder_{i}`` / ``bbox_embed_{i}`` / ``class_embed_{i}`` layout to
+    the scanned ``decoder_scan/{layer,bbox_embed,class_embed}`` layout
+    (DINOTransformer.scan_layers=True): per-layer leaves gain a leading
+    num_decoder_layers axis.  The encoder-stage heads
+    (``{bbox,class}_embed_{L}``) stay top-level; the SHARED
+    ``ref_point_head``/``decoder_norm`` stay single-copy (the scan step
+    consumes them as broadcast arguments).  Returns a NEW dict.
+    """
+    import jax
+
+    dec = sorted(
+        (k for k in tr_params if k.startswith("decoder_")
+         and k != "decoder_scan" and k != "decoder_norm"
+         and k.split("_")[-1].isdigit()),
+        key=lambda k: int(k.split("_")[-1]),
+    )
+    if not dec:
+        return dict(tr_params)
+    n = len(dec)
+    stacked_names = set(dec)
+    stacked_names |= {f"bbox_embed_{i}" for i in range(n)}
+    stacked_names |= {f"class_embed_{i}" for i in range(n)}
+    out = {k: v for k, v in tr_params.items() if k not in stacked_names}
+    out["decoder_scan"] = {
+        "layer": jax.tree.map(
+            lambda *xs: np.stack(xs, axis=0), *(tr_params[k] for k in dec)
+        ),
+        "bbox_embed": jax.tree.map(
+            lambda *xs: np.stack(xs, axis=0),
+            *(tr_params[f"bbox_embed_{i}"] for i in range(n)),
+        ),
+        "class_embed": jax.tree.map(
+            lambda *xs: np.stack(xs, axis=0),
+            *(tr_params[f"class_embed_{i}"] for i in range(n)),
+        ),
+    }
+    return out
+
+
+def unstack_decoder_layers(tr_params: dict) -> dict:
+    """Inverse of :func:`stack_decoder_layers`."""
+    import jax
+
+    if "decoder_scan" not in tr_params:
+        return dict(tr_params)
+    out = {k: v for k, v in tr_params.items() if k != "decoder_scan"}
+    sc = tr_params["decoder_scan"]
+    n = jax.tree.leaves(sc["layer"])[0].shape[0]
+    for i in range(n):
+        out[f"decoder_{i}"] = jax.tree.map(
+            lambda x, i=i: np.asarray(x[i]), sc["layer"]
+        )
+        out[f"bbox_embed_{i}"] = jax.tree.map(
+            lambda x, i=i: np.asarray(x[i]), sc["bbox_embed"]
+        )
+        out[f"class_embed_{i}"] = jax.tree.map(
+            lambda x, i=i: np.asarray(x[i]), sc["class_embed"]
+        )
+    return out
+
+
+def stack_transformer_layers(tr_params: dict) -> dict:
+    """stack_encoder_layers + stack_decoder_layers in one call — the full
+    scan_layers=True layout."""
+    return stack_decoder_layers(stack_encoder_layers(tr_params))

@@ -15,7 +15,10 @@ import pytest
 
 from ir_ads_tpu.detection.transformer import DINOTransformer
 from ir_ads_tpu.utils.torch_import import (
+    stack_decoder_layers,
     stack_encoder_layers,
+    stack_transformer_layers,
+    unstack_decoder_layers,
     unstack_encoder_layers,
 )
 
@@ -44,7 +47,7 @@ def test_scan_encoder_matches_unrolled():
     unrolled = DINOTransformer(**KW, scan_layers=False)
     scanned = DINOTransformer(**KW, scan_layers=True)
     params = unrolled.init(jax.random.PRNGKey(1), feats)["params"]
-    stacked = stack_encoder_layers(params)
+    stacked = stack_transformer_layers(params)
 
     out_u = unrolled.apply({"params": params}, feats)
     out_s = scanned.apply({"params": stacked}, feats)
@@ -62,7 +65,7 @@ def test_scan_param_tree_shape_matches_init():
     feats = _feats(jax.random.PRNGKey(0))
     unrolled = DINOTransformer(**KW, scan_layers=False)
     scanned = DINOTransformer(**KW, scan_layers=True)
-    p_u = stack_encoder_layers(
+    p_u = stack_transformer_layers(
         unrolled.init(jax.random.PRNGKey(1), feats)["params"]
     )
     p_s = scanned.init(jax.random.PRNGKey(1), feats)["params"]
@@ -77,6 +80,7 @@ def test_stack_unstack_roundtrip():
     feats = _feats(jax.random.PRNGKey(0))
     params = DINOTransformer(**KW).init(jax.random.PRNGKey(1), feats)["params"]
     rt = unstack_encoder_layers(stack_encoder_layers(params))
+    rt = unstack_decoder_layers(stack_decoder_layers(rt))
     flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
     flat_b = jax.tree_util.tree_flatten_with_path(rt)[0]
     assert [jax.tree_util.keystr(p) for p, _ in flat_a] == [
@@ -92,7 +96,7 @@ def test_scan_encoder_gradients_match():
     unrolled = DINOTransformer(**KW, scan_layers=False)
     scanned = DINOTransformer(**KW, scan_layers=True)
     params = unrolled.init(jax.random.PRNGKey(1), feats)["params"]
-    stacked = stack_encoder_layers(params)
+    stacked = stack_transformer_layers(params)
 
     def loss_u(p):
         out = unrolled.apply({"params": p}, feats)
@@ -106,7 +110,7 @@ def test_scan_encoder_gradients_match():
             out["pred_logits"] ** 2
         )
 
-    g_u = stack_encoder_layers(jax.grad(loss_u)(params))
+    g_u = stack_transformer_layers(jax.grad(loss_u)(params))
     g_s = jax.grad(loss_s)(stacked)
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(

@@ -201,11 +201,17 @@ def test_gradients_flow_through_custom_vjp():
         os.environ.pop("IR_ADS_PALLAS_INTERPRET", None)
 
 
+@pytest.mark.parametrize("fusednorm", ["0", "1"])
 @pytest.mark.parametrize("heads,c", [(4, 128), (8, 256)])
-def test_packed_heads_matches_per_head(heads, c, monkeypatch):
+def test_packed_heads_matches_per_head(heads, c, fusednorm, monkeypatch):
     """d = C/heads = 32 -> the block-diagonal 4-heads-per-dot packing path
-    (_heads_attention packed=True).  Must be bitwise the per-head loop: the
-    packed QK dot only adds exact-zero products to the f32 accumulator."""
+    (_heads_attention packed=True).
+
+    fusednorm=0 (legacy): must be bitwise the per-head loop — the packed QK
+    dot only adds exact-zero products to the f32 accumulator.
+    fusednorm=1 (round-4 default): the PV dot consumes UNNORMALIZED exp
+    scores and the softmax divide fuses into the per-head output extract,
+    so normalization rounds in a different order — f32-tolerance only."""
     ws = 4
     key = jax.random.PRNGKey(11)
     p = _params(key, c, heads, ws)
@@ -214,6 +220,7 @@ def test_packed_heads_matches_per_head(heads, c, monkeypatch):
     args = [p[k] for k in ORDER]
     scale = (c // heads) ** -0.5
 
+    monkeypatch.setenv("IR_ADS_V6_FUSEDNORM", fusednorm)
     monkeypatch.setenv("IR_ADS_SWIN_PACKED", "0")
     base = pallas_window_block(
         x, *args, region, scale, heads, ws, shift=2, interpret=True
@@ -222,9 +229,14 @@ def test_packed_heads_matches_per_head(heads, c, monkeypatch):
     packed = pallas_window_block(
         x, *args, region, scale, heads, ws, shift=2, interpret=True
     )
-    np.testing.assert_allclose(
-        np.asarray(packed), np.asarray(base), rtol=0, atol=0
-    )
+    if fusednorm == "0":
+        np.testing.assert_allclose(
+            np.asarray(packed), np.asarray(base), rtol=0, atol=0
+        )
+    else:
+        np.testing.assert_allclose(
+            np.asarray(packed), np.asarray(base), rtol=1e-5, atol=1e-5
+        )
     ref = _block_reference(x, *args, region, scale, heads, ws, shift=2)
     np.testing.assert_allclose(
         np.asarray(packed), np.asarray(ref), rtol=1e-5, atol=1e-5
