@@ -426,7 +426,15 @@ def _heads_attention(
     #     (N, pd) output: o += o_full[block j] * (lane_mask_j / den_j).
     import os as _osf
 
-    fused = _osf.environ.get("IR_ADS_V6_FUSEDNORM", "0") not in ("", "0")
+    # "0" legacy softmax (default) · "1" round-4 concat/lane-mask variant
+    # (measured loss, kept for the ledger) · "2" osel-fold: identical to
+    # legacy except the softmax divide moves from the RAGGED (pN, N=144)
+    # score tile to the 128-lane-aligned (pN, pd) output (o_full * 1/den
+    # before the existing osel extract) — the knock-out probe measured the
+    # normalize pass at 0.19 ms/call, ~25x its flop count, i.e. layout-
+    # bound, not math-bound (dev/probe_v6_itemize.py, 2026-08-19).
+    fmode = _osf.environ.get("IR_ADS_V6_FUSEDNORM", "0") or "0"
+    fused = fmode == "1"
     # folded-bias mode (neq is None): ``bias`` is a PER-WINDOW
     # (G, heads, N, N) f32 slab with the shift-region mask already added
     # (-1e9 at masked pairs) — built once per call in XLA.  This removes
@@ -579,6 +587,17 @@ def _heads_attention(
                 rj = r[:, j * n : (j + 1) * n, :]
                 term = oj * (rj * (lane_head == j).astype(jnp.float32)[None])
                 o = term if o is None else o + term
+        elif fmode == "2":
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            ex = jnp.exp(s - mx)  # f32 (G, pN, N)
+            den = jnp.sum(ex, axis=-1, keepdims=True)
+            o_full = jax.lax.dot_general(
+                ex.astype(v.dtype), v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (G, pN, pd) f32, unnormalized
+            o_full = o_full * (1.0 / jnp.maximum(den, 1e-30))
+            o = jnp.sum(o_full.reshape(g_, p, n, pd) * osel[None], axis=1)
         else:
             pr = jax.nn.softmax(s, axis=-1)
             o_full = jax.lax.dot_general(

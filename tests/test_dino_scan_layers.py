@@ -42,6 +42,9 @@ def _feats(key):
     ]
 
 
+@pytest.mark.slow  # 2 full DINOTransformer CPU compiles (~2 min); the fast
+# tier keeps the param-tree-shape + roundtrip tests, the full-output match
+# runs in the slow tier
 def test_scan_encoder_matches_unrolled():
     feats = _feats(jax.random.PRNGKey(0))
     unrolled = DINOTransformer(**KW, scan_layers=False)

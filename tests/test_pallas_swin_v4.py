@@ -201,7 +201,7 @@ def test_gradients_flow_through_custom_vjp():
         os.environ.pop("IR_ADS_PALLAS_INTERPRET", None)
 
 
-@pytest.mark.parametrize("fusednorm", ["0", "1"])
+@pytest.mark.parametrize("fusednorm", ["0", "1", "2"])
 @pytest.mark.parametrize("heads,c", [(4, 128), (8, 256)])
 def test_packed_heads_matches_per_head(heads, c, fusednorm, monkeypatch):
     """d = C/heads = 32 -> the block-diagonal 4-heads-per-dot packing path
