@@ -5,6 +5,7 @@ CPU; the same code path compiles on TPU."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ir_ads_tpu.ops import pallas_dscf
 from ir_ads_tpu.ops.pallas_dscf import (
@@ -73,6 +74,7 @@ def test_fused_vjp_matches_reference_grads(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.slow  # 39 s of CPU compiles; kernel-level dscf tests stay fast
 def test_module_pallas_path_matches_xla_path():
     """DAttentionMM end-to-end: packed-kernel path == einsum path."""
     from ir_ads_tpu.models.backbones.swin import DAttentionMM

@@ -60,6 +60,7 @@ def test_v7_bitwise_vs_v4_tail_composition(_env):
     assert bool(jnp.all(y7 == y4)), float(jnp.max(jnp.abs(y7 - y4)))
 
 
+@pytest.mark.slow  # 31 s; v7 is an experimental config (prod = pallas4/6)
 def test_v7_matches_xla_and_grads(_env):
     y7, g7 = _run("pallas7", "fused", grad=True)
     yx, gx = _run("xla", "xla", grad=True)
