@@ -46,11 +46,17 @@ rng = np.random.default_rng(0)
 def timeit(tag, fn, *args, long=16):
     @functools.partial(jax.jit, static_argnums=(0,))
     def many(n, *a):
+        # thread EVERY array arg through the carry: loop-invariant inputs
+        # let XLA hoist the whole body out of the scan (the first run of
+        # this probe measured -0.04 "ms" on a 461 s-to-compile graph)
         def body(carry, _):
-            s = jnp.sum(fn(*a)).astype(jnp.float32) + carry
-            return s, None
+            cur, _ = carry
+            s = jnp.sum(fn(*cur)).astype(jnp.float32)
+            z = s * 0.0
+            new = tuple(x + z.astype(x.dtype) for x in a)
+            return (new, s), None
 
-        s, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+        (_, s), _ = jax.lax.scan(body, (a, jnp.float32(0)), None, length=n)
         return s
 
     try:

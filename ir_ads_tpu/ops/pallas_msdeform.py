@@ -122,10 +122,11 @@ def _gather_kernel(i_ref, w_ref, v_ref, o_ref, *, heads, d, ncorner, f32_chunks)
     wgt = w_ref[0, 0]  # (S, H) f32
 
     # lane-broadcast the per-head index/weight columns across each head's
-    # D value lanes: (S, H) -> (S, H*D)
+    # D value lanes: (rows, H) -> (rows, H*D)
     def lane_expand(a):
+        rows = a.shape[0]
         parts = [
-            jax.lax.broadcast_in_dim(a[:, hh : hh + 1], (s_pad, d), (0, 1))
+            jax.lax.broadcast_in_dim(a[:, hh : hh + 1], (rows, d), (0, 1))
             for hh in range(heads)
         ]
         return parts[0] if heads == 1 else jnp.concatenate(parts, axis=1)
@@ -182,10 +183,14 @@ def _pallas_forward(
         v2 = jnp.pad(v2, [(0, 0), (0, s_pad - s), (0, 0)])
 
     # f32 temporaries per chunk stay ~2*S_pad/f32_chunks*HD*4B
-    f32_chunks = 1
-    while (2 * s_pad * hd * 4) // f32_chunks > 24 * 1024 * 1024:
-        f32_chunks *= 2
-    while t % f32_chunks:
+    import os as _os
+
+    f32_chunks = int(_os.environ.get("IR_ADS_MSDEFORM_CHUNKS", "0") or 0)
+    if not f32_chunks:
+        f32_chunks = 1
+        while (2 * s_pad * hd * 4) // f32_chunks > 24 * 1024 * 1024:
+            f32_chunks *= 2
+    while f32_chunks > 1 and t % f32_chunks:
         f32_chunks //= 2
 
     kern = functools.partial(

@@ -71,6 +71,17 @@ def test_pallas_msdeform_grads_match_xla():
         )
 
 
+def test_pallas_msdeform_chunked_f32_path(monkeypatch):
+    """Force f32_chunks > 1 (the big-shape VMEM-bounding path)."""
+    monkeypatch.setenv("IR_ADS_MSDEFORM_CHUNKS", "2")
+    value, shapes, loc, w = _data(3, ((8, 8), (4, 4), (2, 2)), 1, 4, 8, 40, 4)
+    ref = ms_deform_attn(value, shapes, loc, w)
+    out = ms_deform_attn_pallas(value, shapes, loc, w, True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_pallas_msdeform_bf16_and_query_padding():
     """bf16 values + a query count that does not divide the tile size."""
     value, shapes, loc, w = _data(
