@@ -390,7 +390,11 @@ def main():
                             "item. Train-step program exceeds the remote "
                             "compile helper."
                         ),
-                        "train_step_bs4_ms_pre_fix": 337.4,
+                        # tools/benchmark.py --task train, bs4 480x640, r5
+                        # kernels + CE one-hot fix (2026-08-19; VERDICT r3
+                        # item 4 — was 337.4 pre-fix):
+                        "train_step_bs4_ms": 212.0,
+                        "train_img_s": 18.9,
                         "train_mxu_floor_ms_4x_fwd": 51.3,
                         "train_bwd_vs_2x_fwd_bound": 1.31,
                     },
