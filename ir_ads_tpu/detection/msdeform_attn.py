@@ -41,15 +41,18 @@ def ms_deform_attn(
     """Returns (B, Lq, heads * head_dim).
 
     Dispatch (IR_ADS_MSDEFORM env, read at trace time): 'pallas' runs the
-    round-4 dynamic-gather kernel (ops/pallas_msdeform.py — the TPU
-    replacement for the reference CUDA im2col kernel), 'xla' the gather
-    formulation below, 'auto' (default) picks pallas on TPU backends.
+    round-4 dynamic-gather kernel (ops/pallas_msdeform.py), 'xla' the
+    gather formulation below.  'auto' (default) resolves to XLA even on
+    TPU: the current relay toolchain cannot lower ANY in-kernel dynamic
+    gather (minimal take_along_axis repros kill the compile helper —
+    dev/probe_dyngather.py, COVERAGE.md round-4), so the Pallas kernel is
+    opt-in for toolchains where tpu.dynamic_gather works.
     """
     import os
 
     impl = os.environ.get("IR_ADS_MSDEFORM", "auto")
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = "xla"
     if impl == "pallas":
         from ir_ads_tpu.ops.pallas_msdeform import ms_deform_attn_pallas
 
@@ -94,6 +97,39 @@ def ms_deform_attn_xla(
         "blpnd,blpn->bld",
         stacked.reshape(b * n_heads, lq, n_levels, n_points, head_dim),
         w.astype(stacked.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(value.dtype)
+    out = out.reshape(b, n_heads, lq, head_dim).transpose(0, 2, 1, 3)
+    return out.reshape(b, lq, n_heads * head_dim)
+
+
+def ms_deform_attn_xla2(
+    value: jax.Array,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+) -> jax.Array:
+    """Single-gather formulation: same math as :func:`ms_deform_attn_xla`
+    but all (level, point, corner) samples become ONE take_along_axis on
+    the level-concatenated value stack, with bilinear-corner x attention
+    weights folded into the same reduce.  16 gathers/call -> 1.
+    """
+    from ir_ads_tpu.ops.pallas_msdeform import _corner_tables
+
+    b, s, n_heads, head_dim = value.shape
+    lq = sampling_locations.shape[1]
+    idx, wgt = _corner_tables(spatial_shapes, sampling_locations, attention_weights)
+    ncorner = idx.shape[2]
+    # (B, Lq, NC, H) -> (B*H, Lq*NC)
+    idx = idx.transpose(0, 3, 1, 2).reshape(b * n_heads, lq * ncorner)
+    wgt = wgt.transpose(0, 3, 1, 2).reshape(b * n_heads, lq, ncorner)
+    v = value.transpose(0, 2, 1, 3).reshape(b * n_heads, s, head_dim)
+    g = jnp.take_along_axis(v, idx[..., None], axis=1)
+    g = g.reshape(b * n_heads, lq, ncorner, head_dim)
+    out = jnp.einsum(
+        "blnd,bln->bld",
+        g,
+        wgt.astype(g.dtype),
         preferred_element_type=jnp.float32,
     ).astype(value.dtype)
     out = out.reshape(b, n_heads, lq, head_dim).transpose(0, 2, 1, 3)

@@ -68,6 +68,45 @@ def test_ms_deform_attn_matches_torch():
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
 
 
+def test_ms_deform_attn_xla2_matches_torch():
+    """Single-gather formulation (take_along_axis on the level-concat
+    stack) is exact vs the torch oracle, including out-of-bounds zeros."""
+    from ir_ads_tpu.detection.msdeform_attn import ms_deform_attn_xla2
+
+    value, shapes, locations, weights = _data(seed=2)
+    ours = ms_deform_attn_xla2(
+        jnp.asarray(value), shapes, jnp.asarray(locations), jnp.asarray(weights)
+    )
+    ref = torch_ms_deform_attn(
+        torch.from_numpy(value),
+        shapes,
+        torch.from_numpy(locations),
+        torch.from_numpy(weights),
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
+
+
+def test_ms_deform_attn_xla2_grads_match_torch():
+    from ir_ads_tpu.detection.msdeform_attn import ms_deform_attn_xla2
+
+    value, shapes, locations, weights = _data(seed=3)
+
+    def loss_jax(v, loc, w):
+        return jnp.sum(ms_deform_attn_xla2(v, shapes, loc, w) ** 2)
+
+    gv, gl, gw = jax.grad(loss_jax, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(locations), jnp.asarray(weights)
+    )
+
+    tv = torch.from_numpy(value).requires_grad_(True)
+    tl = torch.from_numpy(locations).requires_grad_(True)
+    tw = torch.from_numpy(weights).requires_grad_(True)
+    (torch_ms_deform_attn(tv, shapes, tl, tw) ** 2).sum().backward()
+    np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw), tw.grad.numpy(), atol=1e-4)
+
+
 def test_ms_deform_attn_grads_match_torch():
     value, shapes, locations, weights = _data(seed=1)
 
