@@ -123,6 +123,26 @@ def f_take4(v, idx):
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
+def f_gslice2(v, idx):
+    """Paired-corner slice gather: bilinear corners (y,x0),(y,x0+1) are
+    flat-adjacent, so one lax.gather row with slice_sizes (1,2,D) fetches
+    BOTH — half the gather rows of take1 (tests whether the gather is
+    row-rate-bound or byte-bound)."""
+    g, hw, d = v.shape
+    v2 = jnp.pad(v, [(0, 0), (0, 1), (0, 0)])  # so idx+1 stays in bounds
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(1,),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    out = jax.lax.gather(
+        v2, idx[..., None], dn, slice_sizes=(1, 2, d),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    return out  # (G, N, 2, D)
+
+
 def f_onehot(v, idx):
     g, hw, d = v.shape
     oh = jax.nn.one_hot(idx, hw, dtype=v.dtype)  # (G, N, HW)
@@ -150,6 +170,12 @@ if __name__ == "__main__":
         h, w = SHAPES[lvl]
         v, idx = corner_inputs(h, w, LQ)
         timeit(which, f_take, v, idx)
+    elif which.startswith("gslice2"):
+        lvl = int(which.split("L")[1])
+        h, w = SHAPES[lvl]
+        v, idx = corner_inputs(h, w, LQ)
+        idx = idx // 2 * 2  # representative paired-corner starts
+        timeit(which, f_gslice2, v, idx)
     elif which.startswith("take4"):
         lvl = int(which.split("L")[1])
         h, w = SHAPES[lvl]

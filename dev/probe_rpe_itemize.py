@@ -41,12 +41,16 @@ rng = np.random.default_rng(0)
 LONG = int(os.environ.get("PROBE_LONG", "18"))
 
 # bench per-level shapes (B=8 dual-stream forward, dscf_groups (1,2,4,8),
-# dscf_heads (2,4,8,16), stride (8,4,2,1) -> key grid 15x20 = M 300, the
-# rpe table is the reference default q_size (60, 80) -> (119, 159))
+# dscf_heads (2,4,8,16), stride (8,4,2,1) -> key grid 15x20 = n 300 per
+# offset field; the builder runs on pos_cat so M = 2n = 600.  rpe table is
+# the reference default q_size (60, 80) -> (119, 159).
 LEVELS = {
-    "L0": dict(bg=8, hg=2, h=120, w=160, m=300),
-    "L1": dict(bg=16, hg=2, h=60, w=80, m=300),
-    "L2": dict(bg=32, hg=2, h=30, w=40, m=300),
+    "L0": dict(bg=8, hg=2, h=120, w=160, m=600),
+    "L1": dict(bg=16, hg=2, h=60, w=80, m=600),
+    "L2": dict(bg=32, hg=2, h=30, w=40, m=600),
+    # L3 runs the XLA einsum path in production (rows kernel was 2.9 ms
+    # there, r2); timed here via the einsum twin for the level-3 slice
+    "L3": dict(bg=64, hg=2, h=15, w=20, m=600),
 }
 S1, S2 = 119, 159
 KNOCK: frozenset = frozenset()
@@ -116,12 +120,18 @@ def _rows_kernel_ablate(pos_ref, table_ref, out_ref, *, h, w, s1, s2, jc, hg,
 def time_fn(tag, fn, *args):
     @functools.partial(jax.jit, static_argnums=(0,))
     def many(n, *a):
+        # thread args through the carry: loop-invariant inputs let XLA
+        # hoist the whole body (the msdeform-forms probe measured
+        # negative ms that way)
         def body(carry, _):
-            out = fn(*a)
-            s = jnp.sum(out[:, :, :1, :1, :1].astype(jnp.float32)) + carry
-            return s, None
+            cur, _ = carry
+            out = fn(*cur)
+            s = jnp.sum(out[(0,) * (out.ndim - 1)][:1].astype(jnp.float32))
+            z = s * 0.0
+            new = tuple(x + z.astype(x.dtype) for x in a)
+            return (new, s), None
 
-        s, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+        (_, s), _ = jax.lax.scan(body, (a, jnp.float32(0)), None, length=n)
         return s
 
     try:
@@ -147,6 +157,36 @@ def time_fn(tag, fn, *args):
               flush=True)
 
 
+def xla_einsum_rpe(pos, table, h, w, store=jnp.bfloat16):
+    """The production XLA einsum path (swin.py rpe_bias, head_minor) at
+    builder shapes: pos (BG, M, 2), table (G, S1, S2, hg) -> bias
+    (BG, h*w, hg, M).  This is what level 3 runs in production."""
+    bg, m, _ = pos.shape
+    g = table.shape[0]
+    hg = table.shape[3]
+    s1, s2 = S1, S2
+    qy = jnp.arange(h, dtype=jnp.float32) / max(h - 1, 1) * 2.0 - 1.0
+    qx = jnp.arange(w, dtype=jnp.float32) / max(w - 1, 1) * 2.0 - 1.0
+    iy = (0.5 * (qy[None, None, :] - pos[:, :, 0:1]) + 1.0) * 0.5 * (s1 - 1)
+    ix = (0.5 * (qx[None, None, :] - pos[:, :, 1:2]) + 1.0) * 0.5 * (s2 - 1)
+    wy = jnp.maximum(
+        0.0, 1.0 - jnp.abs(iy[..., None] - jnp.arange(s1, dtype=jnp.float32))
+    ).astype(store)
+    wx = jnp.maximum(
+        0.0, 1.0 - jnp.abs(ix[..., None] - jnp.arange(s2, dtype=jnp.float32))
+    ).astype(store)
+    tb = jnp.broadcast_to(
+        table[None].astype(store), (bg // g, g, s1, s2, hg)
+    ).reshape(bg, s1, s2, hg)
+    u = jnp.einsum(
+        "bste,bnct->bncse", tb, wx, preferred_element_type=jnp.float32
+    ).astype(store)
+    bias = jnp.einsum(
+        "bnrs,bncse->brcen", wy, u, preferred_element_type=jnp.float32
+    ).astype(store)
+    return bias.reshape(bg, h * w, hg, m)
+
+
 def probe_level(lvl, knocks, j_chunks=(0,)):
     global KNOCK
     cfg = LEVELS[lvl]
@@ -155,6 +195,22 @@ def probe_level(lvl, knocks, j_chunks=(0,)):
     g = bg // 8 if bg >= 8 else 1
     table = jnp.asarray(rng.standard_normal((g, hg, S1, S2)) * 0.02,
                         jnp.float32)
+
+    if lvl == "L3":
+        # production path at L3: two head-minor einsum calls of n = M/2
+        half = pos[:, : m // 2]
+        tbl_hm = jnp.transpose(table, (0, 2, 3, 1))  # (g, S1, S2, hg)
+        time_fn(
+            f"{lvl}_xla_einsum_half",  # production does this TWICE
+            lambda p, t: xla_einsum_rpe(p, t, h, w),
+            half, tbl_hm,
+        )
+        time_fn(
+            f"{lvl}_rows_kernel",  # the r2-rejected rows kernel, for scale
+            lambda p, t: rpe.dscf_rpe_bias_rows_pallas(p, t, h, w),
+            pos, table,
+        )
+        return
 
     orig = rpe._rpe_rows_kernel
     try:

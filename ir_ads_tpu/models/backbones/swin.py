@@ -1388,14 +1388,54 @@ class DAttentionMM(nn.Module):
                 * scale
             )
             if not ablated("dscf_rpe"):
-                bias_x = rpe_bias(pos_x)
-                bias_y = rpe_bias(pos_y)
-                bias = jnp.concatenate([bias_x, bias_y], axis=2)  # (B*g, HW, 2n, hg)
-                bias = (
-                    bias.reshape(b, g, h * w, 2 * n, hg)
-                    .transpose(0, 1, 4, 2, 3)
-                    .reshape(b, heads, h * w, 2 * n)
-                )
+                # Round-4: build the bias with the packed Pallas kernel
+                # (ops/pallas_dscf_rpe.dscf_rpe_bias_packed) on TPU — the
+                # XLA einsum path materializes ~91M-element u intermediates
+                # in HBM per call and was the largest slice of the r3
+                # per-fusion profile's 5.4 ms rpe total (level 3 runs this
+                # branch in production).  The (BG, hg, M, HW) output adds
+                # into the (B, heads, HW, M) scores with the transpose
+                # fused into the add.  IR_ADS_DSCF_RPE3: pallas|xla|auto.
+                import os
+
+                rpe3 = os.environ.get("IR_ADS_DSCF_RPE3", "auto")
+                if rpe3 == "auto":
+                    rpe3 = (
+                        "pallas"
+                        if jax.default_backend() == "tpu"
+                        else "xla"
+                    )
+                if rpe3 == "pallas":
+                    from ir_ads_tpu.ops.pallas_dscf_rpe import (
+                        dscf_rpe_bias_packed,
+                    )
+
+                    store = self.dtype or jnp.float32
+                    pos_cat = jnp.concatenate(
+                        [
+                            pos_x.reshape(b * g, n, 2),
+                            pos_y.reshape(b * g, n, 2),
+                        ],
+                        axis=1,
+                    )
+                    table4 = rpe_table.reshape(g, hg, s1, s2)
+                    bias_p = dscf_rpe_bias_packed(
+                        pos_cat, table4, h, w, store
+                    )  # (B*g, hg, 2n, HW)
+                    bias = bias_p.reshape(b, heads, 2 * n, h * w).transpose(
+                        0, 1, 3, 2
+                    )
+                else:
+                    bias_x = rpe_bias(pos_x)
+                    bias_y = rpe_bias(pos_y)
+                    bias = jnp.concatenate(
+                        [bias_x, bias_y], axis=2
+                    )  # (B*g, HW, 2n, hg)
+                    bias = (
+                        bias.reshape(b, g, h * w, 2 * n, hg)
+                        .transpose(0, 1, 4, 2, 3)
+                        .reshape(b, heads, h * w, 2 * n)
+                    )
                 attn = attn + bias.astype(attn.dtype)
 
             attn = jax.nn.softmax(attn, axis=-1)

@@ -33,6 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
 def _env_interpret() -> bool:
     import os
 
@@ -308,6 +312,151 @@ def _rpe_rows_bwd(h, w, out_dtype, res, g):
 
 
 dscf_rpe_bias_rows.defvjp(_rpe_rows_fwd, _rpe_rows_bwd)
+
+
+def _rpe_packed_kernel(
+    pos_ref, table_ref, out_ref, *, h, w, s1, s2, s1p, jc, hg, out_dtype
+):
+    """Packed-layout builder for the SMALL levels.  Grid: (BG, M // jc).
+    Blocks:
+    pos_ref:   (1, jc, 2) f32
+    table_ref: (1, s2, hg * s1p) f32 — table transposed t-major, e-major
+               lanes, s1 zero-padded to s1p = 128 so per-head lane slices
+               are 128-aligned
+    out_ref:   (1, hg, jc, h * w) — bias with the query plane FLAT on
+               lanes (hw >= 300 at L3) instead of w (20 of 128 lanes, the
+               reason the rows layout lost at level 3 in round 2)
+
+    Same math as ``_rpe_rows_kernel``; the first dot is ONE flat
+    (jc*w, s2) @ (s2, hg*s1p) matmul (no per-j batching), the second the
+    usual per-j batched (h, s1) x (w, s1) dot, then the (h, w) minor dims
+    merge once per (e, chunk) before the store.  The s1 pad columns are
+    harmless: iy <= s1-1 always, so the wy hat weight at s >= s1 is 0 by
+    construction (and the table pad lanes are zero anyway).
+    """
+    ay = (s1 - 1.0) / (2.0 * (h - 1.0))
+    ax = (s2 - 1.0) / (2.0 * (w - 1.0))
+    pos = pos_ref[0]  # (jc, 2)
+    by = (0.5 - 0.5 * pos[:, 0:1]) * 0.5 * (s1 - 1.0)  # (jc, 1)
+    bx = (0.5 - 0.5 * pos[:, 1:2]) * 0.5 * (s2 - 1.0)
+    cdt = (
+        jnp.bfloat16 if jnp.dtype(out_dtype) == jnp.bfloat16 else jnp.float32
+    )
+    # wx in (jc, w, s2) layout so the flat (jc*w, s2) reshape is free
+    c2 = jax.lax.broadcasted_iota(jnp.int32, (w, s2), 0).astype(jnp.float32)
+    t2 = jax.lax.broadcasted_iota(jnp.int32, (w, s2), 1).astype(jnp.float32)
+    base_x = ax * c2 - t2  # (w, s2)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(base_x[None] + bx[:, :, None]))
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (h, s1p), 0).astype(jnp.float32)
+    s_2 = jax.lax.broadcasted_iota(jnp.int32, (h, s1p), 1).astype(jnp.float32)
+    base_y = ay * r2 - s_2  # (h, s1p)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(base_y[None] + by[:, :, None]))
+    wx = wx.astype(cdt)
+    wy = wy.astype(cdt)
+
+    u = jax.lax.dot_general(
+        wx.reshape(jc * w, s2), table_ref[0].astype(cdt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(cdt)  # (jc*w, hg*s1p)
+    u = u.reshape(jc, w, hg * s1p)
+    for e in range(hg):
+        ue = u[:, :, e * s1p : (e + 1) * s1p]  # 128-aligned lane slice
+        bias = jax.lax.dot_general(
+            wy, ue,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (jc, h, w) f32
+        out_ref[0, e] = bias.reshape(jc, h * w).astype(out_dtype)
+
+
+def dscf_rpe_bias_packed_pallas(
+    pos: jax.Array,       # (BG, M, 2) f32, (y, x) in [-1, 1]
+    table: jax.Array,     # (G, hg, S1, S2) f32
+    h: int,
+    w: int,
+    out_dtype=jnp.bfloat16,
+    j_chunk: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns bias (BG, hg, M, h*w).  BG = B * G (group-minor).
+
+    Built for the small pyramid levels (production: level 3, h*w = 300,
+    M = 600) where the rows layout wastes 108 of 128 lanes and the XLA
+    einsum path materializes ~91M-element u intermediates in HBM per
+    call.  The consumer adds this to (B, heads, HW, M) scores with the
+    transpose fused into the add (XLA fuses permutations into
+    elementwise consumers)."""
+    bg, m, _ = pos.shape
+    g, hg, s1, s2 = table.shape
+    s1p = _round_up(s1, 128)
+    if j_chunk is None:
+        import os
+
+        ov = os.environ.get("IR_ADS_DSCF_RPE3_JC", "")
+        j_chunk = int(ov) if ov and m % int(ov) == 0 else m
+    assert m % j_chunk == 0, (m, j_chunk)
+
+    # (G, hg, S1, S2) -> (G, S2, hg, S1p) -> (G, S2, hg*S1p), zero-pad s1
+    t2 = jnp.pad(table, ((0, 0), (0, 0), (0, s1p - s1), (0, 0)))
+    t2 = t2.transpose(0, 3, 1, 2).reshape(g, s2, hg * s1p)
+
+    kernel = functools.partial(
+        _rpe_packed_kernel, h=h, w=w, s1=s1, s2=s2, s1p=s1p, jc=j_chunk,
+        hg=hg, out_dtype=out_dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bg, hg, m, h * w), out_dtype),
+        grid=(bg, m // j_chunk),
+        in_specs=[
+            pl.BlockSpec((1, j_chunk, 2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s2, hg * s1p), lambda i, j, g=g: (i % g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hg, j_chunk, h * w), lambda i, j: (i, 0, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret or _env_interpret(),
+    )(pos, t2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def dscf_rpe_bias_packed(pos, table, h, w, out_dtype=jnp.bfloat16):
+    """Differentiable entry: Pallas forward + XLA-recompute backward."""
+    return dscf_rpe_bias_packed_pallas(pos, table, h, w, out_dtype=out_dtype)
+
+
+def _rpe_packed_fwd(pos, table, h, w, out_dtype):
+    return dscf_rpe_bias_packed_pallas(
+        pos, table, h, w, out_dtype=out_dtype
+    ), (pos, table)
+
+
+def _rpe_packed_bwd(h, w, out_dtype, res, g):
+    pos, table = res
+    _, vjp = jax.vjp(
+        lambda p, t: dscf_rpe_bias_packed_reference(p, t, h, w, out_dtype),
+        pos,
+        table,
+    )
+    return vjp(g)
+
+
+dscf_rpe_bias_packed.defvjp(_rpe_packed_fwd, _rpe_packed_bwd)
+
+
+def dscf_rpe_bias_packed_reference(pos, table, h, w, out_dtype=jnp.bfloat16):
+    """XLA twin of the packed kernel (same layout), for tests + backward."""
+    bias = dscf_rpe_bias_reference(pos, table, h, w, out_dtype=jnp.float32)
+    bg, hg, m = bias.shape[:3]
+    # (BG, hg, M, h, w) -> (BG, hg, M, h*w)
+    return bias.reshape(bg, hg, m, h * w).astype(out_dtype)
 
 
 def dscf_rpe_bias_rows_reference(pos, table, h, w, out_dtype=jnp.bfloat16):

@@ -46,6 +46,68 @@ def test_rpe_rows_kernel_matches_reference(h, w, g, hg):
     )
 
 
+@pytest.mark.parametrize("h,w,g,hg", [(15, 20, 2, 2), (16, 16, 1, 2)])
+def test_rpe_packed_kernel_matches_reference(h, w, g, hg):
+    """Round-4 packed builder (level-3 shapes: query plane flat on lanes)."""
+    from ir_ads_tpu.ops.pallas_dscf_rpe import (
+        dscf_rpe_bias_packed_pallas,
+        dscf_rpe_bias_packed_reference,
+    )
+
+    b, m = 2, 8
+    s1, s2 = 23, 31
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    pos = jax.random.uniform(k1, (b * g, m, 2), jnp.float32, -1.0, 1.0)
+    table = jax.random.normal(k2, (g, hg, s1, s2), jnp.float32)
+
+    want = dscf_rpe_bias_packed_reference(
+        pos, table, h, w, out_dtype=jnp.float32
+    )
+    got = dscf_rpe_bias_packed_pallas(
+        pos, table, h, w, out_dtype=jnp.float32, j_chunk=4, interpret=True
+    )
+    assert got.shape == (b * g, hg, m, h * w)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_rpe_packed_grads_match_reference():
+    from ir_ads_tpu.ops.pallas_dscf_rpe import (
+        dscf_rpe_bias_packed,
+        dscf_rpe_bias_packed_reference,
+    )
+
+    h, w, g, hg, b, m = 15, 20, 1, 2, 1, 8
+    s1, s2 = 23, 31
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    pos = jax.random.uniform(k1, (b * g, m, 2), jnp.float32, -0.9, 0.9)
+    table = jax.random.normal(k2, (g, hg, s1, s2), jnp.float32)
+
+    import os
+
+    os.environ["IR_ADS_PALLAS_INTERPRET"] = "1"
+    try:
+        gp, gt = jax.grad(
+            lambda p, t: jnp.sum(
+                dscf_rpe_bias_packed(p, t, h, w, jnp.float32) ** 2
+            ),
+            argnums=(0, 1),
+        )(pos, table)
+    finally:
+        del os.environ["IR_ADS_PALLAS_INTERPRET"]
+    wp, wt = jax.grad(
+        lambda p, t: jnp.sum(
+            dscf_rpe_bias_packed_reference(p, t, h, w, jnp.float32) ** 2
+        ),
+        argnums=(0, 1),
+    )(pos, table)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(wp), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(wt), rtol=1e-4,
+                               atol=1e-4)
+
+
 def test_pick_tile_r_respects_block_rule():
     # (15, 20): no divisor t of 15 has 8 | t*20 -> must take the whole plane
     # (this is DSCF level 3 of the 480x640 headline bench; the r1->r2 bench
@@ -143,6 +205,33 @@ def test_dattention_pallas3_matches_xla(monkeypatch):
     out_p3 = mod_p3.apply(variables, x, y, False)
     np.testing.assert_allclose(
         np.asarray(out_p3), np.asarray(out_xla), rtol=2e-4, atol=2e-4
+    )
+
+
+@pytest.mark.slow
+def test_dattention_xla_packed_rpe_matches_xla(monkeypatch):
+    """The round-4 packed rpe builder inside the XLA attention branch
+    (production level 3) matches the einsum rpe bit-for-bit up to f32
+    association order."""
+    import os
+
+    monkeypatch.setenv("IR_ADS_PALLAS_INTERPRET", "1")
+    b, h, w, c = 2, 15, 20, 32
+    g, heads, stride = 2, 4, 1
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    y = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+
+    mod = DAttentionMM(
+        dim=c, n_heads=heads, n_groups=g, stride=stride, attn_impl="xla"
+    )
+    variables = mod.init({"params": jax.random.PRNGKey(0)}, x, y)
+    monkeypatch.setenv("IR_ADS_DSCF_RPE3", "xla")
+    out_xla = mod.apply(variables, x, y, False)
+    monkeypatch.setenv("IR_ADS_DSCF_RPE3", "pallas")
+    out_packed = mod.apply(variables, x, y, False)
+    np.testing.assert_allclose(
+        np.asarray(out_packed), np.asarray(out_xla), rtol=2e-4, atol=2e-4
     )
 
 
