@@ -143,6 +143,25 @@ def f_gslice2(v, idx):
     return out  # (G, N, 2, D)
 
 
+def f_gpatch(v4, yx):
+    """2x2-patch slice gather: ONE gather row per (query, point) fetches
+    all four bilinear corners (slice_sizes (1,2,2,D)) from the 2-D map
+    layout.  If the gather engine is row-rate-bound, this is 4x fewer
+    rows than per-corner take_along_axis for the same fetched data."""
+    g, h, w, d = v4.shape
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    return jax.lax.gather(
+        v4, yx, dn, slice_sizes=(1, 2, 2, d),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    # (G, N, 2, 2, D)
+
+
 def f_onehot(v, idx):
     g, hw, d = v.shape
     oh = jax.nn.one_hot(idx, hw, dtype=v.dtype)  # (G, N, HW)
@@ -170,6 +189,17 @@ if __name__ == "__main__":
         h, w = SHAPES[lvl]
         v, idx = corner_inputs(h, w, LQ)
         timeit(which, f_take, v, idx)
+    elif which.startswith("gpatch"):
+        lvl = int(which.split("L")[1])
+        h, w = SHAPES[lvl]
+        # N = Lq * P rows (vs 4x that for per-corner takes)
+        v4 = jnp.asarray(
+            rng.standard_normal((B * HEADS, h, w, D)) * 0.1, jnp.bfloat16)
+        yx = jnp.stack(
+            [jnp.asarray(rng.integers(0, h - 1, (B * HEADS, LQ * P)), jnp.int32),
+             jnp.asarray(rng.integers(0, w - 1, (B * HEADS, LQ * P)), jnp.int32)],
+            axis=-1)
+        timeit(which, f_gpatch, v4, yx)
     elif which.startswith("gslice2"):
         lvl = int(which.split("L")[1])
         h, w = SHAPES[lvl]

@@ -136,6 +136,85 @@ def ms_deform_attn_xla2(
     return out.reshape(b, lq, n_heads * head_dim)
 
 
+def _gather_onehot(v: jax.Array, idx: jax.Array, chunk: int = 2048):
+    """Row gather as chunked one-hot MXU matmuls.
+
+    v: (G, S, D); idx: (G, N) int32 in [0, S) -> (G, N, D).
+
+    On the TPU relay toolchain a plain take_along_axis of these shapes
+    runs at ~10 GB/s effective (4.25 ms for a 41 MB gather at encoder
+    scale) and takes ~18 min to compile, while the same gather written as
+    one_hot @ v measures ~0 ms: XLA fuses the iota-compare one-hot
+    generation into the dot, so the "matrix" never exists and the MXU
+    does the routing (dev/probe_msd2.py, COVERAGE round-4).  Chunking the
+    S dimension bounds the fused operand so the pattern survives at
+    level-0 sizes (S = 15200).
+    """
+    g, s, d = v.shape
+    n = idx.shape[1]
+    if s <= chunk:
+        oh = jax.nn.one_hot(idx, s, dtype=v.dtype)  # (G, N, S) — fused
+        return jax.lax.dot_general(
+            oh, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(v.dtype)
+    acc = jnp.zeros((g, n, d), jnp.float32)
+    for c0 in range(0, s, chunk):
+        cw = min(chunk, s - c0)
+        oh = jax.nn.one_hot(idx - c0, cw, dtype=v.dtype)
+        acc += jax.lax.dot_general(
+            oh, v[:, c0 : c0 + cw],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    return acc.astype(v.dtype)
+
+
+def ms_deform_attn_xla3(
+    value: jax.Array,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+) -> jax.Array:
+    """One-hot-matmul formulation: per-level corner samples gathered by
+    chunked one-hot MXU dots (see :func:`_gather_onehot`), bilinear-corner
+    x attention weights folded into one reduce.  Exact same math as
+    :func:`ms_deform_attn_xla`; built for the TPU relay toolchain where
+    both XLA row gathers and Mosaic dynamic gathers are unusable."""
+    from ir_ads_tpu.ops.pallas_msdeform import _corner_tables
+
+    b, s, n_heads, head_dim = value.shape
+    lq = sampling_locations.shape[1]
+    n_levels = len(spatial_shapes)
+    n_points = sampling_locations.shape[4]
+    nc_lvl = n_points * 4
+    idx, wgt = _corner_tables(
+        spatial_shapes, sampling_locations, attention_weights
+    )  # (B, Lq, L*P*4, H), level-major corner slots
+    # (B, Lq, L, P*4, H) -> (B*H, L, Lq*P*4)
+    idx = idx.reshape(b, lq, n_levels, nc_lvl, n_heads)
+    wgt = wgt.reshape(b, lq, n_levels, nc_lvl, n_heads)
+    idx = idx.transpose(0, 4, 2, 1, 3).reshape(b * n_heads, n_levels, -1)
+    wgt = wgt.transpose(0, 4, 2, 1, 3).reshape(b * n_heads, n_levels, -1)
+    v = value.transpose(0, 2, 1, 3).reshape(b * n_heads, s, head_dim)
+
+    out = jnp.zeros((b * n_heads, lq, head_dim), jnp.float32)
+    start = 0
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        gl = _gather_onehot(v[:, start : start + hh * ww], idx[:, lvl] - start)
+        gl = gl.reshape(b * n_heads, lq, nc_lvl, head_dim)
+        out += jnp.einsum(
+            "blnd,bln->bld",
+            gl,
+            wgt[:, lvl].reshape(b * n_heads, lq, nc_lvl).astype(gl.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        start += hh * ww
+    out = out.astype(value.dtype)
+    out = out.reshape(b, n_heads, lq, head_dim).transpose(0, 2, 1, 3)
+    return out.reshape(b, lq, n_heads * head_dim)
+
+
 def _offset_bias_init(num_heads, num_levels, num_points):
     """Directional point-spread bias (reference init_weights,
     multi_scale_deform_attn.py:202-218)."""

@@ -107,6 +107,53 @@ def test_ms_deform_attn_xla2_grads_match_torch():
     np.testing.assert_allclose(np.asarray(gw), tw.grad.numpy(), atol=1e-4)
 
 
+def test_ms_deform_attn_xla3_matches_torch():
+    """One-hot-matmul formulation (chunked MXU gather) vs the torch
+    oracle, chunk boundary exercised via a small chunk."""
+    from ir_ads_tpu.detection import msdeform_attn as M
+
+    value, shapes, locations, weights = _data(seed=5)
+    ours = M.ms_deform_attn_xla3(
+        jnp.asarray(value), shapes, jnp.asarray(locations), jnp.asarray(weights)
+    )
+    ref = torch_ms_deform_attn(
+        torch.from_numpy(value),
+        shapes,
+        torch.from_numpy(locations),
+        torch.from_numpy(weights),
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
+
+    # chunked one-hot gather == take_along_axis
+    rng = np.random.RandomState(7)
+    v = jnp.asarray(rng.randn(3, 70, 8).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 70, (3, 20)), jnp.int32)
+    got = M._gather_onehot(v, idx, chunk=16)
+    want = jnp.take_along_axis(v, idx[..., None], axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_ms_deform_attn_xla3_grads_match_torch():
+    from ir_ads_tpu.detection.msdeform_attn import ms_deform_attn_xla3
+
+    value, shapes, locations, weights = _data(seed=6)
+
+    def loss_jax(v, loc, w):
+        return jnp.sum(ms_deform_attn_xla3(v, shapes, loc, w) ** 2)
+
+    gv, gl, gw = jax.grad(loss_jax, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(locations), jnp.asarray(weights)
+    )
+
+    tv = torch.from_numpy(value).requires_grad_(True)
+    tl = torch.from_numpy(locations).requires_grad_(True)
+    tw = torch.from_numpy(weights).requires_grad_(True)
+    (torch_ms_deform_attn(tv, shapes, tl, tw) ** 2).sum().backward()
+    np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw), tw.grad.numpy(), atol=1e-4)
+
+
 def test_ms_deform_attn_grads_match_torch():
     value, shapes, locations, weights = _data(seed=1)
 
