@@ -176,12 +176,22 @@ if __name__ == "__main__":
         ms_deform_attn_xla2,
     )
 
+    from ir_ads_tpu.detection.msdeform_attn import (
+        ms_deform_attn_xla3,
+        ms_deform_attn_xla4,
+    )
+
     which = sys.argv[1]
-    if which.startswith(("whole", "xla2")):
+    if which.startswith(("whole", "xla2", "xla3", "xla4")):
         form, tag = which.split("_")
         lq = LQ if tag == "enc" else 2000
         value, locs, wgt = make_inputs(lq)
-        fn = ms_deform_attn_xla if form == "whole" else ms_deform_attn_xla2
+        fn = {
+            "whole": ms_deform_attn_xla,
+            "xla2": ms_deform_attn_xla2,
+            "xla3": ms_deform_attn_xla3,
+            "xla4": ms_deform_attn_xla4,
+        }[form]
         timeit(which, lambda v, l, w: fn(v, SHAPES, l, w),
                value, locs, wgt, long=6 if lq > 4000 else 8)
     elif which.startswith("take1"):

@@ -210,6 +210,18 @@ def probe_level(lvl, knocks, j_chunks=(0,)):
             lambda p, t: rpe.dscf_rpe_bias_rows_pallas(p, t, h, w),
             pos, table,
         )
+        time_fn(
+            f"{lvl}_packed_kernel",  # round-4 replacement (hw on lanes)
+            lambda p, t: rpe.dscf_rpe_bias_packed_pallas(p, t, h, w),
+            pos, table,
+        )
+        for jc in (120, 200):
+            time_fn(
+                f"{lvl}_packed_kernel_jc{jc}",
+                lambda p, t, jc=jc: rpe.dscf_rpe_bias_packed_pallas(
+                    p, t, h, w, j_chunk=jc),
+                pos, table,
+            )
         return
 
     orig = rpe._rpe_rows_kernel

@@ -40,19 +40,23 @@ def ms_deform_attn(
 ) -> jax.Array:
     """Returns (B, Lq, heads * head_dim).
 
-    Dispatch (IR_ADS_MSDEFORM env, read at trace time): 'pallas' runs the
-    round-4 dynamic-gather kernel (ops/pallas_msdeform.py), 'xla' the
-    gather formulation below.  'auto' (default) resolves to XLA even on
-    TPU: the current relay toolchain cannot lower ANY in-kernel dynamic
-    gather (minimal take_along_axis repros kill the compile helper —
-    dev/probe_dyngather.py, COVERAGE.md round-4), so the Pallas kernel is
-    opt-in for toolchains where tpu.dynamic_gather works.
+    Dispatch (IR_ADS_MSDEFORM env, read at trace time):
+      'xla4'   mixed 2x2-patch slice gather (big levels) + fused one-hot
+               MXU dots (small levels) — the measured-best form on the
+               relay toolchain (dev/probe_msd2.py, COVERAGE round-4)
+      'xla3'   all levels as chunked one-hot MXU dots
+      'xla2'   ONE take_along_axis on the level-concat stack
+      'xla'    per-level grid_sample gathers (the r1-r3 form)
+      'pallas' the dynamic-gather kernel (ops/pallas_msdeform.py) —
+               opt-in only: the relay toolchain cannot lower ANY
+               in-kernel dynamic gather (dev/probe_dyngather.py)
+      'auto'   (default) resolves to xla4 on TPU, xla elsewhere
     """
     import os
 
     impl = os.environ.get("IR_ADS_MSDEFORM", "auto")
     if impl == "auto":
-        impl = "xla"
+        impl = "xla4" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         from ir_ads_tpu.ops.pallas_msdeform import ms_deform_attn_pallas
 
@@ -60,7 +64,13 @@ def ms_deform_attn(
             value, tuple(map(tuple, spatial_shapes)),
             sampling_locations, attention_weights,
         )
-    return ms_deform_attn_xla(
+    fn = {
+        "xla": ms_deform_attn_xla,
+        "xla2": ms_deform_attn_xla2,
+        "xla3": ms_deform_attn_xla3,
+        "xla4": ms_deform_attn_xla4,
+    }[impl]
+    return fn(
         value, spatial_shapes, sampling_locations, attention_weights
     )
 
@@ -209,6 +219,145 @@ def ms_deform_attn_xla3(
             wgt[:, lvl].reshape(b * n_heads, lq, nc_lvl).astype(gl.dtype),
             preferred_element_type=jnp.float32,
         )
+        start += hh * ww
+    out = out.astype(value.dtype)
+    out = out.reshape(b, n_heads, lq, head_dim).transpose(0, 2, 1, 3)
+    return out.reshape(b, lq, n_heads * head_dim)
+
+
+def _patch_tables(h: int, w: int, gxy: jax.Array, att: jax.Array):
+    """Per-level 2x2-patch gather tables.
+
+    gxy: (..., 2) continuous (gx, gy) in pixel coords (align_corners=False
+    grid already applied); att: (...) attention weight.  Returns
+    (ys, xs, cellw): patch start rows/cols (int32, clamped so the 2x2
+    patch stays in bounds) and per-cell weights (..., 2, 2) with
+    bilinear-corner x attention folded and out-of-bounds corners zeroed
+    (grid_sample zeros padding).  A corner that the clamp pushes out of
+    the patch is out of bounds by construction, so its weight is 0 and
+    the misplaced read is harmless.
+    """
+    gx = gxy[..., 0]
+    gy = gxy[..., 1]
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    fx = gx - x0
+    fy = gy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    xs = jnp.clip(x0i, 0, max(w - 2, 0))
+    ys = jnp.clip(y0i, 0, max(h - 2, 0))
+
+    def axis_cells(f, i0, start, size):
+        # 2-tap weights [1-f, f] at coords (i0, i0+1), zeroed out of
+        # bounds, placed at patch cells (i0 - start, i0 + 1 - start)
+        wa = jnp.where((i0 >= 0) & (i0 < size), 1.0 - f, 0.0)
+        wb = jnp.where((i0 + 1 >= 0) & (i0 + 1 < size), f, 0.0)
+        o = i0 - start  # in {-1, 0, 1}
+        cell0 = jnp.where(o == 0, wa, jnp.where(o == -1, wb, 0.0))
+        cell1 = jnp.where(o == 0, wb, jnp.where(o == 1, wa, 0.0))
+        return jnp.stack([cell0, cell1], axis=-1)  # (..., 2)
+
+    cy = axis_cells(fy, y0i, ys, h)  # (..., 2)
+    cx = axis_cells(fx, x0i, xs, w)  # (..., 2)
+    cellw = cy[..., :, None] * cx[..., None, :] * att[..., None, None]
+    return ys, xs, cellw
+
+
+def _gather_patch2x2(v4: jax.Array, ys: jax.Array, xs: jax.Array):
+    """v4: (G, H, W, D); ys/xs: (G, N) int32 patch starts (in bounds) ->
+    (G, N, 2, 2, D) via ONE gather row per sample (slice_sizes (1,2,2,D)),
+    ~4x fewer gather descriptors than per-corner take_along_axis on the
+    row-rate-bound TPU gather engine (dev/probe_msd2.py)."""
+    g, h, w, d = v4.shape
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    return jax.lax.gather(
+        v4, jnp.stack([ys, xs], axis=-1), dn, slice_sizes=(1, 2, 2, d),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
+def ms_deform_attn_xla4(
+    value: jax.Array,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+    onehot_max_hw: int = 1024,
+) -> jax.Array:
+    """Mixed formulation tuned to the TPU gather engine: levels with
+    HW > onehot_max_hw sample via ONE 2x2-patch slice gather per (query,
+    point) (row-rate-bound engine -> 4x fewer descriptors than per-corner
+    takes); small levels via fused one-hot MXU dots (measured ~free,
+    dev/probe_msd2.py).  Exact same math as :func:`ms_deform_attn_xla`."""
+    b, s, n_heads, head_dim = value.shape
+    _, lq, _, n_levels, n_points, _ = sampling_locations.shape
+    loc = sampling_locations.transpose(0, 2, 1, 3, 4, 5).reshape(
+        b * n_heads, lq, n_levels, n_points, 2
+    )
+    att = attention_weights.transpose(0, 2, 1, 3, 4).reshape(
+        b * n_heads, lq, n_levels, n_points
+    ).astype(jnp.float32)
+    vt = value.transpose(0, 2, 1, 3).reshape(b * n_heads, s, head_dim)
+
+    out = jnp.zeros((b * n_heads, lq, head_dim), jnp.float32)
+    start = 0
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        vl = vt[:, start : start + hh * ww]
+        # align_corners=False pixel coords
+        gxy = jnp.stack(
+            [
+                loc[:, :, lvl, :, 0].astype(jnp.float32) * ww - 0.5,
+                loc[:, :, lvl, :, 1].astype(jnp.float32) * hh - 0.5,
+            ],
+            axis=-1,
+        )  # (G, Lq, P, 2)
+        if hh * ww > onehot_max_hw and hh >= 2 and ww >= 2:
+            ys, xs, cellw = _patch_tables(hh, ww, gxy, att[:, :, lvl])
+            patches = _gather_patch2x2(
+                vl.reshape(-1, hh, ww, head_dim),
+                ys.reshape(b * n_heads, lq * n_points),
+                xs.reshape(b * n_heads, lq * n_points),
+            ).reshape(b * n_heads, lq, n_points, 2, 2, head_dim)
+            out += jnp.einsum(
+                "blpyxd,blpyx->bld",
+                patches.astype(jnp.float32),
+                cellw,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            # corner tables for this level only (one-hot MXU routing)
+            gx = gxy[..., 0]
+            gy = gxy[..., 1]
+            x0 = jnp.floor(gx)
+            y0 = jnp.floor(gy)
+            fx = (gx - x0)[..., None]
+            fy = (gy - y0)[..., None]
+            x0i = x0.astype(jnp.int32)[..., None]
+            y0i = y0.astype(jnp.int32)[..., None]
+            dxy = jnp.array([[0, 0], [0, 1], [1, 0], [1, 1]], jnp.int32)
+            xi = x0i + dxy[None, None, None, :, 1]
+            yi = y0i + dxy[None, None, None, :, 0]
+            valid = (xi >= 0) & (xi < ww) & (yi >= 0) & (yi < hh)
+            cw = jnp.where(
+                dxy[None, None, None, :, 1] == 0, 1.0 - fx, fx
+            ) * jnp.where(dxy[None, None, None, :, 0] == 0, 1.0 - fy, fy)
+            wgt = jnp.where(valid, cw, 0.0) * att[:, :, lvl][..., None]
+            idx = jnp.clip(yi, 0, hh - 1) * ww + jnp.clip(xi, 0, ww - 1)
+            nc = n_points * 4
+            gl = _gather_onehot(
+                vl, idx.reshape(b * n_heads, lq * nc)
+            ).reshape(b * n_heads, lq, nc, head_dim)
+            out += jnp.einsum(
+                "blnd,bln->bld",
+                gl,
+                wgt.reshape(b * n_heads, lq, nc).astype(gl.dtype),
+                preferred_element_type=jnp.float32,
+            )
         start += hh * ww
     out = out.astype(value.dtype)
     out = out.reshape(b, n_heads, lq, head_dim).transpose(0, 2, 1, 3)

@@ -154,6 +154,49 @@ def test_ms_deform_attn_xla3_grads_match_torch():
     np.testing.assert_allclose(np.asarray(gw), tw.grad.numpy(), atol=1e-4)
 
 
+def test_ms_deform_attn_xla4_matches_torch():
+    """Mixed patch-gather + one-hot formulation vs the torch oracle,
+    both per-level paths forced via the threshold."""
+    from ir_ads_tpu.detection.msdeform_attn import ms_deform_attn_xla4
+
+    value, shapes, locations, weights = _data(seed=8)
+    ref = torch_ms_deform_attn(
+        torch.from_numpy(value),
+        shapes,
+        torch.from_numpy(locations),
+        torch.from_numpy(weights),
+    )
+    for thresh in (0, 10, 10**6):
+        ours = ms_deform_attn_xla4(
+            jnp.asarray(value), shapes, jnp.asarray(locations),
+            jnp.asarray(weights), onehot_max_hw=thresh,
+        )
+        np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
+
+
+def test_ms_deform_attn_xla4_grads_match_torch():
+    from ir_ads_tpu.detection.msdeform_attn import ms_deform_attn_xla4
+
+    value, shapes, locations, weights = _data(seed=9)
+
+    def loss_jax(v, loc, w):
+        return jnp.sum(
+            ms_deform_attn_xla4(v, shapes, loc, w, onehot_max_hw=10) ** 2
+        )
+
+    gv, gl, gw = jax.grad(loss_jax, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(locations), jnp.asarray(weights)
+    )
+
+    tv = torch.from_numpy(value).requires_grad_(True)
+    tl = torch.from_numpy(locations).requires_grad_(True)
+    tw = torch.from_numpy(weights).requires_grad_(True)
+    (torch_ms_deform_attn(tv, shapes, tl, tw) ** 2).sum().backward()
+    np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw), tw.grad.numpy(), atol=1e-4)
+
+
 def test_ms_deform_attn_grads_match_torch():
     value, shapes, locations, weights = _data(seed=1)
 
