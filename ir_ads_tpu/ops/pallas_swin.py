@@ -644,16 +644,30 @@ def _packed_layout() -> str:
     return "wide" if _packed_value() == "2" else "tall"
 
 
-def _biasmask_enabled() -> bool:
-    """IR_ADS_SWIN_BIASMASK=1 enables the folded per-window bias+mask slab
-    instead of the in-kernel region compare + where.  MEASURED A LOSS on
-    v5e (dev/probe_r3_stage_kernels 2026-08-18: v6 stage-2 shifted 0.56 ms
-    in-kernel path vs 1.0 ms folded — the slab DMA + in-kernel slice/
-    reshape cost more than the neq+where passes they replace; v4 stage-0
-    a wash at ~2.0 ms).  Kept opt-in for future probing."""
+def _biasmask_mode() -> str:
+    """IR_ADS_SWIN_BIASMASK selects how the rel-pos bias meets the shift
+    mask:
+
+      ''/'0'  in-kernel region compare + where (round-2 default)
+      '1'     folded PER-WINDOW bias+mask slab.  MEASURED A LOSS on v5e
+              (dev/probe_r3_stage_kernels 2026-08-18: v6 stage-2 shifted
+              0.56 ms in-kernel vs 1.0 ms folded — the per-band slab DMA
+              cost more than the neq+where passes; v4 stage-0 a wash).
+      '2'     round-4 BAND-TYPE slab (v4 path): in a standard Swin shift
+              grid every window-row band has the same mask pattern except
+              the last (vertical wrap), so the slab is (2, g, heads, N, N)
+              selected by index-map arithmetic — it stays VMEM-resident
+              across bands instead of streaming a fresh 4-6 MB block per
+              band, and the kernel runs the same single-add folded branch.
+    """
     import os
 
-    return os.environ.get("IR_ADS_SWIN_BIASMASK", "0") not in ("", "0")
+    v = os.environ.get("IR_ADS_SWIN_BIASMASK", "0")
+    return "" if v in ("", "0") else v
+
+
+def _biasmask_enabled() -> bool:
+    return _biasmask_mode() != ""
 
 
 def _mask8_enabled() -> str:
@@ -1169,8 +1183,25 @@ def pallas_window_block(
         )
         return out
 
-    folded = region is not None and _biasmask_enabled()
-    if folded:
+    bm_mode = _biasmask_mode() if region is not None else ""
+    folded = bool(bm_mode)
+    if bm_mode == "2":
+        # band-TYPE slab: every band shares the first band's mask pattern
+        # except the last (vertical wrap row).  (2, g, heads, n, n) stays
+        # VMEM-resident (same block id for bands 0..n-2).
+        region_2 = jnp.stack(
+            [region_banded[0], region_banded[n_bands - 1]]
+        ).reshape(2 * g, n)
+        slab = _fold_bias_region(bias, region_2).reshape(
+            2, g, heads, n, n
+        )
+        bias_arg = slab
+        bias_spec = pl.BlockSpec(
+            (1, g, heads, n, n),
+            lambda i, j, nb=n_bands: ((j + 1) // nb, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    elif folded:
         slab = _fold_bias_region(bias, region_full).reshape(
             n_bands, g, heads, n, n
         )

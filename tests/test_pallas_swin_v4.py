@@ -352,6 +352,47 @@ def test_mask8_precomputed_neq_bitwise(kind, monkeypatch):
     np.testing.assert_array_equal(np.asarray(g5), np.asarray(b5))
 
 
+@pytest.mark.parametrize("mode", ["1", "2"])
+def test_biasmask_folded_slab_matches_default(mode, monkeypatch):
+    """IR_ADS_SWIN_BIASMASK: the folded bias+mask slab (per-band '1' and
+    round-4 band-type '2') matches the in-kernel compare path.  Unmasked
+    entries are bitwise; masked entries differ only under the -1e9 which
+    softmax flushes, so outputs agree to f32 tolerance.  Uses >=3 bands so
+    mode '2' exercises both the shared and the last-band slab."""
+    ws = 4
+    key = jax.random.PRNGKey(41)
+    c, heads = 128, 4
+    p = _params(key, c, heads, ws)
+    x = jax.random.normal(jax.random.PRNGKey(42), (2, 24, 8, c), jnp.float32)
+    region = jnp.asarray(shift_region_ids(24, 8, ws, 2))
+    args = [p[k] for k in ORDER]
+    scale = (c // heads) ** -0.5
+    monkeypatch.setenv("IR_ADS_SWIN_BIASMASK", "0")
+    base = pallas_window_block(
+        x, *args, region, scale, heads, ws, shift=2, rows_per_step=1,
+        interpret=True,
+    )
+    monkeypatch.setenv("IR_ADS_SWIN_BIASMASK", mode)
+    got = pallas_window_block(
+        x, *args, region, scale, heads, ws, shift=2, rows_per_step=1,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(base), rtol=1e-5, atol=1e-5
+    )
+    # unshifted (region None) is untouched by the env
+    base_u = pallas_window_block(
+        x, *args, None, scale, heads, ws, shift=0, rows_per_step=1,
+        interpret=True,
+    )
+    monkeypatch.setenv("IR_ADS_SWIN_BIASMASK", "0")
+    got_u = pallas_window_block(
+        x, *args, None, scale, heads, ws, shift=0, rows_per_step=1,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_u), np.asarray(base_u))
+
+
 def test_train_mode_v4_drop_path_reconstruction(monkeypatch):
     """Train-mode half-block kernels (round 3): with proj dropout 0 the v4
     kernel runs in train via exact branch reconstruction
