@@ -209,8 +209,15 @@ def run_config(env: dict) -> dict:
             dtype=jnp.bfloat16,
             mmst_mask=False,
         )
-        rgb = jnp.zeros((BATCH, *IMAGE, 3), jnp.bfloat16)
-        dte = jnp.zeros((BATCH, *IMAGE, 3), jnp.bfloat16)
+        # FLAT (B, H, W*3) lane-dense feed (round-4): an NHWC trailing dim
+        # of 3 forces (8,128)-tiled device buffers padded 42x; the host
+        # reshape is free and PatchEmbed/sliding-eval handle rank-3
+        # natively (dev/probe_patchembed.py, tests/test_flat_input.py)
+        flat = os.environ.get("IR_ADS_FLAT_INPUT", "0") not in ("", "0")
+        shape = (BATCH, IMAGE[0], IMAGE[1] * 3) if flat else (
+            BATCH, *IMAGE, 3)
+        rgb = jnp.zeros(shape, jnp.bfloat16)
+        dte = jnp.zeros(shape, jnp.bfloat16)
         t0 = time.time()
         variables = jax.jit(
             lambda: model.init({"params": jax.random.PRNGKey(0)}, rgb, dte)
@@ -233,8 +240,8 @@ def run_config(env: dict) -> dict:
         # distinct keys per modality: identical stream inputs let XLA CSE
         # dedupe shared-weight work in some configs (see dev/ablate_full.py)
         k1, k2 = jax.random.split(jax.random.PRNGKey(1))
-        rgb = jax.random.normal(k1, (BATCH, *IMAGE, 3), jnp.bfloat16)
-        dte = jax.random.normal(k2, (BATCH, *IMAGE, 3), jnp.bfloat16)
+        rgb = jax.random.normal(k1, shape, jnp.bfloat16)
+        dte = jax.random.normal(k2, shape, jnp.bfloat16)
 
         # honest timing: iterate ON DEVICE (scan chains frames through a
         # data dependency) and fetch one scalar; 2-point slope cancels
@@ -272,8 +279,15 @@ def run_config(env: dict) -> dict:
         # bare-forward slope in the SAME session: separates the sliding/
         # flip wrapper cost from relay session variance (the two have been
         # conflated across separate processes before)
-        rgb8 = jnp.concatenate([rgb, rgb[:, :, ::-1]], axis=0)
-        dte8 = jnp.concatenate([dte, dte[:, :, ::-1]], axis=0)
+        def _flipw(t):  # W-flip for NHWC or flat (B, H, W*3)
+            if not flat:
+                return t[:, :, ::-1]
+            b_, h_, wc = t.shape
+            return t.reshape(b_, h_, wc // 3, 3)[:, :, ::-1].reshape(
+                b_, h_, wc)
+
+        rgb8 = jnp.concatenate([rgb, _flipw(rgb)], axis=0)
+        dte8 = jnp.concatenate([dte, _flipw(dte)], axis=0)
 
         @functools.partial(jax.jit, static_argnums=(0,))
         def many_fwd(n, v, r, d):

@@ -164,20 +164,46 @@ def make_sliding_window_fn(
     @jax.jit
     def predict(rgb: jax.Array, dte: jax.Array) -> jax.Array:
         b = rgb.shape[0]
+        # rank-3 = FLAT (B, H, W*3) lane-dense input (round-4 patch-embed
+        # layout fix; see ops/layers.PatchEmbed).  W-slices/pads scale by
+        # the channel factor; the flip reverses W-groups of 3.
+        flat = rgb.ndim == 3
+        cf = (rgb.shape[-1] // w) if flat else 1  # channels folded into W
         pad_h, pad_w = max(0, th - h), max(0, tw - w)
         if pad_h or pad_w:
-            cfg = ((0, 0), (0, pad_h), (0, pad_w), (0, 0))
+            if flat:
+                cfg = ((0, 0), (0, pad_h), (0, pad_w * cf))
+            else:
+                cfg = ((0, 0), (0, pad_h), (0, pad_w), (0, 0))
             rgb_p = jnp.pad(rgb, cfg)
             dte_p = jnp.pad(dte, cfg)
         else:
             rgb_p, dte_p = rgb, dte
 
-        tiles_rgb = jnp.stack(
-            [rgb_p[:, y : y + th, x : x + tw] for (y, x) in offsets], 0
-        ).reshape(n_tiles * b, th, tw, rgb.shape[-1])
-        tiles_dte = jnp.stack(
-            [dte_p[:, y : y + th, x : x + tw] for (y, x) in offsets], 0
-        ).reshape(n_tiles * b, th, tw, dte.shape[-1])
+        if flat:
+            tiles_rgb = jnp.stack(
+                [rgb_p[:, y : y + th, x * cf : (x + tw) * cf]
+                 for (y, x) in offsets], 0
+            ).reshape(n_tiles * b, th, tw * cf)
+            tiles_dte = jnp.stack(
+                [dte_p[:, y : y + th, x * cf : (x + tw) * cf]
+                 for (y, x) in offsets], 0
+            ).reshape(n_tiles * b, th, tw * cf)
+        else:
+            tiles_rgb = jnp.stack(
+                [rgb_p[:, y : y + th, x : x + tw] for (y, x) in offsets], 0
+            ).reshape(n_tiles * b, th, tw, rgb.shape[-1])
+            tiles_dte = jnp.stack(
+                [dte_p[:, y : y + th, x : x + tw] for (y, x) in offsets], 0
+            ).reshape(n_tiles * b, th, tw, dte.shape[-1])
+
+        def flip_w(t):
+            if not flat:
+                return t[:, :, ::-1]
+            mb, mh, mwc = t.shape
+            return t.reshape(mb, mh, mwc // cf, cf)[:, :, ::-1].reshape(
+                mb, mh, mwc
+            )
 
         def run(tr, td):
             # flip ensembling via batch doubling: ONE forward instance in the
@@ -185,8 +211,8 @@ def make_sliding_window_fn(
             # exceed compile-service payload limits) and better MXU batching.
             m = tr.shape[0]
             if flip:
-                tr = jnp.concatenate([tr, tr[:, :, ::-1]], axis=0)
-                td = jnp.concatenate([td, td[:, :, ::-1]], axis=0)
+                tr = jnp.concatenate([tr, flip_w(tr)], axis=0)
+                td = jnp.concatenate([td, flip_w(td)], axis=0)
             out = forward(tr, td)
             if flip:
                 out = out[:m] + out[m:, :, ::-1]
@@ -198,17 +224,16 @@ def make_sliding_window_fn(
         else:
             n_chunks = -(-(n_tiles * b) // eff_chunk)
             pad_to = n_chunks * eff_chunk
-            tiles_rgb = jnp.pad(
-                tiles_rgb, ((0, pad_to - n_tiles * b), (0, 0), (0, 0), (0, 0))
+            bpad = ((0, pad_to - n_tiles * b),) + ((0, 0),) * (
+                tiles_rgb.ndim - 1
             )
-            tiles_dte = jnp.pad(
-                tiles_dte, ((0, pad_to - n_tiles * b), (0, 0), (0, 0), (0, 0))
-            )
+            tiles_rgb = jnp.pad(tiles_rgb, bpad)
+            tiles_dte = jnp.pad(tiles_dte, bpad)
             tr = tiles_rgb.reshape(
-                n_chunks, eff_chunk, th, tw, rgb.shape[-1]
+                (n_chunks, eff_chunk, th) + tiles_rgb.shape[2:]
             )
             td = tiles_dte.reshape(
-                n_chunks, eff_chunk, th, tw, dte.shape[-1]
+                (n_chunks, eff_chunk, th) + tiles_dte.shape[2:]
             )
             logits = jax.lax.map(lambda ab: run(ab[0], ab[1]), (tr, td))
             logits = logits.reshape(pad_to, th, tw, num_classes)[: n_tiles * b]

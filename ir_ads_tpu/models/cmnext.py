@@ -55,7 +55,12 @@ class CMNeXt(nn.Module):
         )
         feats, feats_rgb, feats_dte = bb(x_rgb, x_dte, train)
 
-        size = (x_rgb.shape[1], x_rgb.shape[2])
+        # rank-3 = FLAT (B, H, W*3) lane-dense input (see PatchEmbed)
+        size = (
+            (x_rgb.shape[1], x_rgb.shape[2] // 3)
+            if x_rgb.ndim == 3
+            else (x_rgb.shape[1], x_rgb.shape[2])
+        )
         fused_dim, aux_dim = self.head_dims
         if ablated("head"):  # perf-attribution stub
             # consume EVERY pyramid level: touching only feats[0] lets XLA

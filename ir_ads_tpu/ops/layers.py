@@ -239,17 +239,52 @@ class PatchEmbed(nn.Module):
     embed_dim: int
     patch_size: int = 4
     use_norm: bool = True
+    in_chans: int = 3  # channel count of a FLAT (B, H, W*C) input
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         p = self.patch_size
-        x = adaptive_pad(x, (p, p), (p, p), "corner")
         # kernel == stride: the conv is an exact patchify-reshape + matmul.
         # XLA's conv lowering for 3-channel stride-p inputs ran ~10x above
         # the traffic bound (1.28 ms/stream at 480p B=8); the reshape form
         # goes straight to the MXU.  Parameter tree is identical to nn.Conv
         # ({proj: {kernel (p,p,Cin,E), bias}}), so checkpoints are unchanged.
+        if x.ndim == 3:
+            # FLAT (B, H, W*C) input: a trailing dim of 3 forces (8,128)-
+            # tiled HBM buffers padded 42x, so every touch of an NHWC-3
+            # buffer pays ~40x its logical traffic; feeding the host-side
+            # reshape keeps the device buffer lane-dense (COVERAGE round-4
+            # patch-embed open item; dev/probe_patchembed.py).  The flat
+            # patchify slice order (p_row, x_in_patch, c) equals the NHWC
+            # transpose order (p, p, c), so the SAME reshaped conv kernel
+            # applies bitwise (tests/test_layers.py).
+            c = self.in_chans
+            b, h, wc = x.shape
+            w = wc // c
+            pad_h = -h % p
+            pad_w = -w % p
+            if pad_h or pad_w:
+                x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w * c)))
+                h, w = h + pad_h, w + pad_w
+            wk, bias = _Conv2DParams((p, p, c, self.embed_dim), name="proj")()
+            xp = (
+                x.reshape(b, h // p, p, w // p, p * c)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(b, h // p, w // p, p * p * c)
+            )
+            wk2 = wk.reshape(p * p * c, self.embed_dim)
+            if self.dtype is not None:
+                xp, wk2, bias = (
+                    xp.astype(self.dtype),
+                    wk2.astype(self.dtype),
+                    bias.astype(self.dtype),
+                )
+            x = xp @ wk2 + bias
+            if self.use_norm:
+                x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+            return x
+        x = adaptive_pad(x, (p, p), (p, p), "corner")
         b, h, w, c = x.shape
         wk, bias = _Conv2DParams((p, p, c, self.embed_dim), name="proj")()
         xp = (

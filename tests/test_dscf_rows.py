@@ -72,6 +72,7 @@ def test_rpe_packed_kernel_matches_reference(h, w, g, hg):
     )
 
 
+@pytest.mark.slow
 def test_rpe_packed_grads_match_reference():
     from ir_ads_tpu.ops.pallas_dscf_rpe import (
         dscf_rpe_bias_packed,
