@@ -1405,6 +1405,12 @@ class DAttentionMM(nn.Module):
                         if jax.default_backend() == "tpu"
                         else "xla"
                     )
+                # the packed builder is sized for the SMALL levels (its
+                # j-chunked u / out blocks scale with h*w); fallback
+                # configs run this xla attention branch at every level,
+                # where L0's 19200-lane plane would blow the VMEM budget
+                if rpe3 == "pallas" and h * w > 2048:
+                    rpe3 = "xla"
                 if rpe3 == "pallas":
                     from ir_ads_tpu.ops.pallas_dscf_rpe import (
                         dscf_rpe_bias_packed,
