@@ -118,8 +118,12 @@ def _measure(args, tag):
     # second trunk pass.  Never benchmark a shared-weight multi-stream model
     # with identical stream inputs.
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    rgb = jax.random.normal(k1, (args.batch, h, w, 3), jnp.bfloat16)
-    dte = jax.random.normal(k2, (args.batch, h, w, 3), jnp.bfloat16)
+    # FLAT (B, H, W*3) lane-dense feed (round-4, see bench.py): honored so
+    # the feed A/B can ride this harness instead of two full bench runs
+    flat = os.environ.get("IR_ADS_FLAT_INPUT", "0") not in ("", "0")
+    shape = (args.batch, h, w * 3) if flat else (args.batch, h, w, 3)
+    rgb = jax.random.normal(k1, shape, jnp.bfloat16)
+    dte = jax.random.normal(k2, shape, jnp.bfloat16)
     t0 = time.time()
     variables = jax.jit(
         lambda: model.init({"params": jax.random.PRNGKey(0)}, rgb, dte)

@@ -1150,7 +1150,8 @@ class DAttentionMM(nn.Module):
         qy = jnp.arange(h, dtype=jnp.float32) / max(h - 1, 1) * 2.0 - 1.0
         qx = jnp.arange(w, dtype=jnp.float32) / max(w - 1, 1) * 2.0 - 1.0
 
-        def rpe_bias(pos, head_minor=False):  # pos: (B*g, Hk, Wk, 2) as (y, x)
+        def rpe_bias(pos, head_minor=False, head_first=False):
+            # pos: (B*g, Hk, Wk, 2) or pre-flattened (B*g, M, 2), as (y, x)
             """Bilinear table sampling as two MXU contractions.
 
             The sample displacement (q_i - pos_j)/2 separates into a
@@ -1170,7 +1171,8 @@ class DAttentionMM(nn.Module):
             # fuses the hat-weight construction into it; the manual form
             # forced relayouts) — keep the einsum form.
             store = self.dtype or jnp.float32
-            pf = pos.reshape(b * g, n, 2)
+            pf = pos.reshape(b * g, -1, 2)
+            m = pf.shape[1]
             iy = (0.5 * (qy[None, None, :] - pf[:, :, 0:1]) + 1.0) * 0.5 * (s1 - 1)
             ix = (0.5 * (qx[None, None, :] - pf[:, :, 1:2]) + 1.0) * 0.5 * (s2 - 1)
             wy = jnp.maximum(
@@ -1185,13 +1187,24 @@ class DAttentionMM(nn.Module):
             u = jnp.einsum(
                 "bste,bnct->bncse", tb, wx, preferred_element_type=jnp.float32
             ).astype(store)  # (B*g, n, w, S1, hg)
-            order = "brcen" if head_minor else "brcne"
+            if head_first:
+                # head-major, sample-minor layout: the (B*g, hg, HW, M)
+                # result reshapes straight into the (B, heads, HW, M)
+                # score add with NO transpose, and the einsum's minor
+                # output dim is M (hundreds) instead of hg (2) — the
+                # hg-minor form uses 2 of 128 lanes on every store
+                # (round-4 L3 variant, IR_ADS_DSCF_RPE_XLA=2)
+                order = "bercn"
+            else:
+                order = "brcen" if head_minor else "brcne"
             bias = jnp.einsum(
                 f"bnrs,bncse->{order}", wy, u, preferred_element_type=jnp.float32
-            ).astype(store)  # (B*g, h, w, [n, hg] or [hg, n])
+            ).astype(store)  # (B*g, h, w, [n, hg] or [hg, n]) or head-first
+            if head_first:
+                return bias.reshape(b * g, hg, h * w, m)
             if head_minor:
-                return bias.reshape(b * g, h * w, hg, n)
-            return bias.reshape(b * g, h * w, n, hg)
+                return bias.reshape(b * g, h * w, hg, m)
+            return bias.reshape(b * g, h * w, m, hg)
 
         # Attention implementation choice (perf round 2):
         #   "pallas2": rpe bias built by the Pallas builder kernel
@@ -1400,11 +1413,15 @@ class DAttentionMM(nn.Module):
 
                 rpe3 = os.environ.get("IR_ADS_DSCF_RPE3", "auto")
                 if rpe3 == "auto":
-                    rpe3 = (
-                        "pallas"
-                        if jax.default_backend() == "tpu"
-                        else "xla"
-                    )
+                    # round-4 measured: the packed builder compiles and
+                    # matches on CPU/interpret, but in whole-model context
+                    # on the relay toolchain it kills the remote compile
+                    # helper (HTTP 500, dev/run_r4f.sh log 2026-08-19) —
+                    # same failure class as the Mosaic dynamic-gather
+                    # no-go (dev/probe_dyngather.py).  Default stays xla;
+                    # the kernel remains opt-in for toolchains that can
+                    # compile it.
+                    rpe3 = "xla"
                 # the packed builder is sized for the SMALL levels (its
                 # j-chunked u / out blocks scale with h*w); fallback
                 # configs run this xla attention branch at every level,
@@ -1430,6 +1447,20 @@ class DAttentionMM(nn.Module):
                     )  # (B*g, hg, 2n, HW)
                     bias = bias_p.reshape(b, heads, 2 * n, h * w).transpose(
                         0, 1, 3, 2
+                    )
+                elif os.environ.get("IR_ADS_DSCF_RPE_XLA", "1") == "2":
+                    # round-4 variant: both offset streams through ONE
+                    # einsum pair, emitted head-first / sample-minor so
+                    # the score add needs no transpose (see rpe_bias)
+                    pos_cat = jnp.concatenate(
+                        [
+                            pos_x.reshape(b * g, n, 2),
+                            pos_y.reshape(b * g, n, 2),
+                        ],
+                        axis=1,
+                    )
+                    bias = rpe_bias(pos_cat, head_first=True).reshape(
+                        b, heads, h * w, 2 * n
                     )
                 else:
                     bias_x = rpe_bias(pos_x)

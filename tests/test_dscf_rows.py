@@ -236,6 +236,30 @@ def test_dattention_xla_packed_rpe_matches_xla(monkeypatch):
     )
 
 
+def test_dattention_xla_headfirst_rpe_matches_xla(monkeypatch):
+    """Round-4 head-first single-einsum rpe (IR_ADS_DSCF_RPE_XLA=2) in the
+    XLA attention branch == the two-call hg-minor einsum path (same math,
+    different layout/fusion)."""
+    b, h, w, c = 2, 15, 20, 32
+    g, heads, stride = 2, 4, 1
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    y = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+
+    mod = DAttentionMM(
+        dim=c, n_heads=heads, n_groups=g, stride=stride, attn_impl="xla"
+    )
+    variables = mod.init({"params": jax.random.PRNGKey(0)}, x, y)
+    monkeypatch.setenv("IR_ADS_DSCF_RPE3", "xla")
+    monkeypatch.setenv("IR_ADS_DSCF_RPE_XLA", "1")
+    out_base = mod.apply(variables, x, y, False)
+    monkeypatch.setenv("IR_ADS_DSCF_RPE_XLA", "2")
+    out_hf = mod.apply(variables, x, y, False)
+    np.testing.assert_allclose(
+        np.asarray(out_hf), np.asarray(out_base), rtol=2e-5, atol=2e-5
+    )
+
+
 @pytest.mark.slow
 def test_dattention_pallas3_gradients(monkeypatch):
     _interp(monkeypatch)
