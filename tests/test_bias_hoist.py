@@ -43,6 +43,7 @@ def _stage():
     )
 
 
+@pytest.mark.slow  # ~30-95 s: fast tier stays under its 10-min budget
 def test_hoisted_bias_bitwise_and_grads(_env):
     stage = _stage()
     x = jnp.asarray(

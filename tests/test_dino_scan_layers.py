@@ -63,6 +63,7 @@ def test_scan_encoder_matches_unrolled():
         )
 
 
+@pytest.mark.slow  # ~30-95 s: fast tier stays under its 10-min budget
 def test_scan_param_tree_shape_matches_init():
     """A scanned init produces exactly the tree stack_encoder_layers emits."""
     feats = _feats(jax.random.PRNGKey(0))

@@ -393,6 +393,7 @@ def test_biasmask_folded_slab_matches_default(mode, monkeypatch):
     np.testing.assert_array_equal(np.asarray(got_u), np.asarray(base_u))
 
 
+@pytest.mark.slow  # ~30-95 s: fast tier stays under its 10-min budget
 def test_train_mode_v4_drop_path_reconstruction(monkeypatch):
     """Train-mode half-block kernels (round 3): with proj dropout 0 the v4
     kernel runs in train via exact branch reconstruction

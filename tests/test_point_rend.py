@@ -4,6 +4,7 @@ point head, coarse head, uncertainty sampling, subdivision inference."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ir_ads_tpu.models.projects.point_rend import (
     ConvFCHead,
@@ -71,6 +72,7 @@ def test_point_coords_wrt_image():
     np.testing.assert_allclose(np.asarray(img[0, 0]), [20.0, 30.0])
 
 
+@pytest.mark.slow  # ~30-95 s: fast tier stays under its 10-min budget
 def test_subdivision_matches_dense_point_eval():
     """With subdivision_num_points >= the full grid, every cell is
     re-predicted each step, so the final mask must equal dense point-head
