@@ -23,16 +23,22 @@ from ir_ads_tpu.detection.box_ops import box_cxcywh_to_xyxy, generalized_box_iou
 
 
 def _solve_batch(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """cost: (B, Q, G) -> row_idx, col_idx each (B, G)."""
-    b, q, g = cost.shape
+    """cost: (..., Q, G) -> row_idx, col_idx each (..., G).
+
+    Rank-agnostic over leading dims so the callback vmaps (pure_callback
+    with vmap_method='expand_dims' hands it an extra leading axis when
+    the criterion is batched over decoder levels)."""
+    lead, (q, g) = cost.shape[:-2], cost.shape[-2:]
+    flat = np.asarray(cost).reshape(-1, q, g)
+    b = flat.shape[0]
     rows = np.zeros((b, g), np.int32)
     cols = np.zeros((b, g), np.int32)
     for i in range(b):
-        c = np.nan_to_num(cost[i], nan=1e8, posinf=1e8, neginf=-1e8)
+        c = np.nan_to_num(flat[i], nan=1e8, posinf=1e8, neginf=-1e8)
         r, cl = linear_sum_assignment(c)
         rows[i, : len(r)] = r
         cols[i, : len(cl)] = cl
-    return rows, cols
+    return rows.reshape(*lead, g), cols.reshape(*lead, g)
 
 
 def auction_match(
@@ -131,7 +137,9 @@ def hungarian_match(
     # the assignment is non-differentiable (reference computes the cost
     # under no_grad, matcher.py:109); detach before the host callback
     cost = jax.lax.stop_gradient(cost)
-    rows, cols = jax.pure_callback(_solve_batch, out_shape, cost)
+    rows, cols = jax.pure_callback(
+        _solve_batch, out_shape, cost, vmap_method="expand_dims"
+    )
     # reorder so entry j corresponds to gt j
     order = jnp.argsort(cols, axis=1)
     return jnp.take_along_axis(rows, order, axis=1), jnp.sort(cols, axis=1)

@@ -53,30 +53,61 @@ def detection_losses(
     n_layers = outputs["pred_logits"].shape[0]
     losses: Dict[str, jax.Array] = {}
 
-    for lvl in range(n_layers):
-        logits = outputs["pred_logits"][lvl]
-        boxes = outputs["pred_boxes"][lvl]
-        masks = outputs["pred_masks"][lvl]
+    import os
+
+    def _layer_losses(logits, boxes, masks, sub):
+        """One decoder level's dn + Hungarian losses (pure in its args,
+        so it can run unrolled OR under vmap)."""
+        lvl = {}
         if n_dn > 0:
             dn_logits, logits = split_dn(logits, n_dn)
             dn_boxes, boxes = split_dn(boxes, n_dn)
             masks = masks[:, n_dn:]
-            dn = dn_criterion(
-                dn_logits, dn_boxes, gt_labels, gt_boxes, gt_valid,
-                outputs["n_groups"],
+            lvl.update(
+                dn_criterion(
+                    dn_logits, dn_boxes, gt_labels, gt_boxes, gt_valid,
+                    outputs["n_groups"],
+                )
             )
-            for k, v in dn.items():
-                losses[f"{k}_{lvl}"] = v
-        key, sub = jax.random.split(key)
-        lvl_losses = set_criterion(
-            logits, boxes, gt_labels, gt_boxes, gt_valid,
-            pred_masks=masks if gt_masks is not None else None,
-            gt_masks=gt_masks,
-            mask_key=sub,
-            num_points=mask_loss_points,
+        lvl.update(
+            set_criterion(
+                logits, boxes, gt_labels, gt_boxes, gt_valid,
+                pred_masks=masks if gt_masks is not None else None,
+                gt_masks=gt_masks,
+                mask_key=sub,
+                num_points=mask_loss_points,
+            )
         )
-        for k, v in lvl_losses.items():
-            losses[f"{k}_{lvl}"] = v
+        return lvl
+
+    if os.environ.get("IR_ADS_DET_CRIT", "loop") == "vmap":
+        # round-4: ONE criterion instance batched over decoder levels
+        # instead of n_layers unrolled copies — the unrolled train-step
+        # HLO exceeds the relay's remote compile helper
+        # (dev/probe_dino_train_ladder.py).  The matcher's while_loop
+        # vmaps to a batched while; same math, levels-many subkeys drawn
+        # in one split (point-sampling streams differ from the loop path
+        # but are identically distributed).
+        key, sub = jax.random.split(key)
+        subs = jax.random.split(sub, n_layers)
+        stacked = jax.vmap(_layer_losses)(
+            outputs["pred_logits"], outputs["pred_boxes"],
+            outputs["pred_masks"], subs,
+        )
+        for k, v in stacked.items():
+            for lvl in range(n_layers):
+                losses[f"{k}_{lvl}"] = v[lvl]
+    else:
+        for lvl in range(n_layers):
+            key, sub = jax.random.split(key)
+            lvl_losses = _layer_losses(
+                outputs["pred_logits"][lvl],
+                outputs["pred_boxes"][lvl],
+                outputs["pred_masks"][lvl],
+                sub,
+            )
+            for k, v in lvl_losses.items():
+                losses[f"{k}_{lvl}"] = v
 
     # encoder stage (enc_outputs in the reference)
     key, sub = jax.random.split(key)

@@ -198,6 +198,51 @@ def test_detection_train_step_end_to_end():
     assert sum(d_after) > 0  # ema lags params after update
 
 
+def test_detection_losses_vmap_matches_loop(monkeypatch):
+    """IR_ADS_DET_CRIT=vmap (one batched criterion instance over decoder
+    levels — the round-4 fix for the train-step HLO exceeding the relay
+    compile helper) == the unrolled loop.  Without masks the criterion is
+    RNG-free, so values must match to batching-numerics tolerance."""
+    from ir_ads_tpu.detection.train import detection_losses
+
+    rng = np.random.RandomState(0)
+    L, b, q, c, g = 3, 2, 20, 6, 3
+    n_dn = 2 * g * 2  # 2 * G * n_groups (CDN layout)
+    outputs = {
+        "pred_logits": jnp.asarray(rng.randn(L, b, q, c), jnp.float32),
+        "pred_boxes": jax.nn.sigmoid(
+            jnp.asarray(rng.randn(L, b, q, 4), jnp.float32)
+        ),
+        "pred_masks": jnp.asarray(rng.randn(L, b, q, 8, 8), jnp.float32),
+        "enc_logits": jnp.asarray(rng.randn(b, q, c), jnp.float32),
+        "enc_boxes": jax.nn.sigmoid(
+            jnp.asarray(rng.randn(b, q, 4), jnp.float32)
+        ),
+        "enc_masks": jnp.asarray(rng.randn(b, q, 8, 8), jnp.float32),
+        "n_dn": n_dn,
+        "n_groups": 2,
+    }
+    labels = jnp.asarray([[1, 2, 0], [3, 0, 0]], jnp.int32)
+    boxes = jnp.clip(
+        jnp.asarray(rng.rand(b, g, 4), jnp.float32) * 0.4 + 0.3, 0.1, 0.9
+    )
+    valid = jnp.asarray([[1, 1, 0], [1, 0, 0]], bool)
+
+    monkeypatch.setenv("IR_ADS_DET_CRIT", "loop")
+    loop = detection_losses(
+        outputs, labels, boxes, valid, None, jax.random.PRNGKey(0)
+    )
+    monkeypatch.setenv("IR_ADS_DET_CRIT", "vmap")
+    vm = detection_losses(
+        outputs, labels, boxes, valid, None, jax.random.PRNGKey(0)
+    )
+    assert set(loop) == set(vm)
+    for k in loop:
+        np.testing.assert_allclose(
+            float(vm[k]), float(loop[k]), rtol=1e-5, atol=1e-6, err_msg=k
+        )
+
+
 def test_dynamic_k_match():
     from ir_ads_tpu.detection.matcher import dynamic_k_match
 
