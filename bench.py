@@ -77,6 +77,12 @@ CONFIGS = [
             "IR_ADS_FFN": "fused",
             "IR_ADS_SWIN_PACKED": "1",
             "IR_ADS_DSCF_PACKED": "1,1,1,0",
+            # round-4: lane-dense FLAT (B, H, W*3) input feed — the NHWC
+            # trailing dim of 3 forces (8,128)-tiled buffers padded 42x;
+            # flat keeps them dense.  Bitwise vs NHWC
+            # (tests/test_flat_input.py); in-context A/B 2026-08-19:
+            # 74.15 -> 69.46 ms B=8 forward (dev/run_r4f.sh).
+            "IR_ADS_FLAT_INPUT": "1",
             # note: IR_ADS_SWIN_V4_ROWS=5 measured 10% faster per stage-0
             # call standalone (dev/probe_v4_cost) but the FULL sliding
             # program with 5-row bands SIGKILLs the remote compile helper
@@ -397,12 +403,17 @@ def main():
                     "recorded": {
                         "swinl_fwd_b4_ms": 58.2,
                         "swinl_img_s": 68.7,
-                        "dino_r50_2000q_fwd_800x1216_ms": 699.9,
+                        # round-4 (2026-08-19): ms_deform_attn_xla4 (2x2
+                        # patch-gather at big levels + fused one-hot MXU
+                        # dots at small levels) + scanned enc/dec stacks
+                        # — was 699.9 with per-pixel XLA gathers
+                        "dino_r50_2000q_fwd_800x1216_ms": 248.7,
                         "dino_note": (
-                            "MSDeformAttn XLA gathers dominate; Pallas "
-                            "deformable-gather kernel is the top round-4 "
-                            "item. Train-step program exceeds the remote "
-                            "compile helper."
+                            "xla4 deformable sampling (Mosaic dynamic-"
+                            "gather kernels kill this relay toolchain, "
+                            "dev/probe_dyngather.py). Train-step program "
+                            "still exceeds the remote compile helper; "
+                            "see dev/probe_dino_train_ladder.py."
                         ),
                         # tools/benchmark.py --task train, bs4 480x640, r5
                         # kernels + CE one-hot fix (2026-08-19; VERDICT r3
