@@ -40,8 +40,11 @@ model = CMNeXt(
     mmst_mask=False,
 )
 k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-rgb = jax.random.normal(k1, (8, 480, 640, 3), jnp.bfloat16)
-dte = jax.random.normal(k2, (8, 480, 640, 3), jnp.bfloat16)
+# FLAT (B, H, W*3) lane-dense feed (round-4, bench default) when set
+_flat = os.environ.get("IR_ADS_FLAT_INPUT", "0") not in ("", "0")
+_shape = (8, 480, 640 * 3) if _flat else (8, 480, 640, 3)
+rgb = jax.random.normal(k1, _shape, jnp.bfloat16)
+dte = jax.random.normal(k2, _shape, jnp.bfloat16)
 variables = jax.jit(
     lambda: model.init({"params": jax.random.PRNGKey(0)}, rgb, dte)
 )()

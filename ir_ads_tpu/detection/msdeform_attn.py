@@ -19,6 +19,7 @@ Design notes:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Optional, Sequence, Tuple
 
@@ -64,11 +65,26 @@ def ms_deform_attn(
             value, tuple(map(tuple, spatial_shapes)),
             sampling_locations, attention_weights,
         )
+    if impl == "xla4":
+        # Under autodiff the patch-slice gather's transpose is a 2x2-slice
+        # scatter-add (operand_batching_dims) that crashes the relay's
+        # tpu_compile_helper (dev/probe_dino_train_ladder.py: sumloss
+        # fails with xla4, compiles with xla).  The custom_vjp below keeps
+        # the fast forward and recomputes the backward through the plain
+        # per-element formulation (identical math -> identical grads).
+        bwd = os.environ.get("IR_ADS_MSDEFORM_BWD", "xla")
+        if bwd == "xla":
+            return _ms_deform_attn_xla4_xlabwd(
+                tuple(map(tuple, spatial_shapes)),
+                value, sampling_locations, attention_weights,
+            )
+        return ms_deform_attn_xla4(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
     fn = {
         "xla": ms_deform_attn_xla,
         "xla2": ms_deform_attn_xla2,
         "xla3": ms_deform_attn_xla3,
-        "xla4": ms_deform_attn_xla4,
     }[impl]
     return fn(
         value, spatial_shapes, sampling_locations, attention_weights
@@ -362,6 +378,36 @@ def ms_deform_attn_xla4(
     out = out.astype(value.dtype)
     out = out.reshape(b, n_heads, lq, head_dim).transpose(0, 2, 1, 3)
     return out.reshape(b, lq, n_heads * head_dim)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ms_deform_attn_xla4_xlabwd(spatial_shapes, value, loc, att):
+    """xla4 forward with the plain-gather formulation's backward.
+
+    Same math in both forms (tests/test_msdeform.py asserts xla4 == xla
+    to bf16 tolerance incl. grads), so recomputing the vjp through
+    :func:`ms_deform_attn_xla` is exact; what changes is the HLO: the
+    backward becomes per-element scatter-adds (which the relay toolchain
+    compiles) instead of 2x2-patch slice scatters (which kill it)."""
+    return ms_deform_attn_xla4(value, spatial_shapes, loc, att)
+
+
+def _xla4_xlabwd_fwd(spatial_shapes, value, loc, att):
+    return ms_deform_attn_xla4(value, spatial_shapes, loc, att), (
+        value, loc, att,
+    )
+
+
+def _xla4_xlabwd_bwd(spatial_shapes, res, g):
+    value, loc, att = res
+    _, vjp = jax.vjp(
+        lambda v, l, a: ms_deform_attn_xla(v, spatial_shapes, l, a),
+        value, loc, att,
+    )
+    return vjp(g)
+
+
+_ms_deform_attn_xla4_xlabwd.defvjp(_xla4_xlabwd_fwd, _xla4_xlabwd_bwd)
 
 
 def _offset_bias_init(num_heads, num_levels, num_points):
