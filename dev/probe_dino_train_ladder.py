@@ -53,13 +53,18 @@ def main():
         make_detection_train_step,
     )
 
-    h, w = (512, 640) if VARIANT == "small" else (800, 1216)
+    small = VARIANT == "small" or os.environ.get("DINO_LADDER_SMALL") == "1"
+    h, w = (512, 640) if small else (800, 1216)
     dn = 0 if VARIANT == "nocdn" else 100
     m = DINODetector(
         num_classes=20, num_queries=2000, embed_dim=256,
         num_encoder_layers=6, num_decoder_layers=6, num_levels=4,
         backbone_arch="resnet50", dn_number=dn, max_gt=60,
         scan_layers=True,
+        # remat the scanned layers: the backward then recomputes inside
+        # the scan body instead of unrolling saved activations — smaller
+        # HLO and less compile-helper memory (DINO_LADDER_REMAT=0 to A/B)
+        use_remat=os.environ.get("DINO_LADDER_REMAT", "1") == "1",
     )
     b = 1
     imgs = jnp.ones((b, h, w, 3), jnp.float32) * 127.0
@@ -141,5 +146,5 @@ if __name__ == "__main__":
     except Exception as e:  # the error IS the datum
         print(json.dumps({
             "variant": VARIANT, "ok": False,
-            "error": f"{type(e).__name__}: {str(e)[:300]}",
+            "error": f"{type(e).__name__}: {str(e)[:8000]}",
         }), flush=True)
