@@ -214,6 +214,12 @@ def run_config(env: dict) -> dict:
             num_classes=NUM_CLASSES,
             dtype=jnp.bfloat16,
             mmst_mask=False,
+            # round-4: heads return H/4 logits; the sliding wrapper
+            # flip-ensembles at low res and upsamples ONCE (exact by
+            # bilinearity, tests/test_eval_lowres.py) — removes the
+            # full-res (2B, H, W, C) flip-add + astype HBM traffic
+            upsample_logits=os.environ.get("IR_ADS_EVAL_LOWRES", "1")
+            in ("", "0"),
         )
         # FLAT (B, H, W*3) lane-dense feed (round-4): an NHWC trailing dim
         # of 3 forces (8,128)-tiled device buffers padded 42x; the host

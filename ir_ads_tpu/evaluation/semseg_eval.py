@@ -216,6 +216,17 @@ def make_sliding_window_fn(
             out = forward(tr, td)
             if flip:
                 out = out[:m] + out[m:, :, ::-1]
+            if out.shape[1] != th or out.shape[2] != tw:
+                # ``forward`` returned the heads' native low-res logits
+                # (CMNeXt upsample_logits=False): the flip-ensemble above ran
+                # at H/4 — exact by bilinearity (flip commutes with the
+                # symmetric align_corners=False grid; sum commutes with a
+                # linear map) — and the full-res traffic is paid ONCE here
+                # instead of per ensemble member (round-4: ~1 ms of the
+                # headline p50 was full-res (2B, H, W, C) flip-add + astype).
+                out = resize_bilinear(
+                    out.astype(jnp.float32), (th, tw), align_corners=False
+                )
             return out
 
         eff_chunk = chunk or max(n_tiles, b)
@@ -305,6 +316,12 @@ def _make_sliding_window_split(
         m = n_tiles * b
         if flip:
             logits = logits[:m] + logits[m:, :, ::-1]
+        if logits.shape[1] != th or logits.shape[2] != tw:
+            # low-res head logits (upsample_logits=False): ensemble first,
+            # upsample once — exact by bilinearity (see fused path)
+            logits = resize_bilinear(
+                logits.astype(jnp.float32), (th, tw), align_corners=False
+            )
         logits = logits.reshape(n_tiles, b, th, tw, num_classes).astype(
             jnp.float32
         )

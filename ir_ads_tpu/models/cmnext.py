@@ -35,6 +35,13 @@ class CMNeXt(nn.Module):
     backbone_kwargs: Optional[Any] = None
     head_dims: Tuple[int, int] = (512, 256)  # fused, aux (reference cmnext.py:20-22)
     head_drop: float = 0.1  # SegFormer head dropout (train mode)
+    # False -> return logits at the heads' native H/4 resolution.  Eval
+    # wrappers that ensemble (flip/MSF) can then sum BEFORE the bilinear
+    # upsample — exact by linearity — and upsample once: the full-res
+    # (B, H, W, C) flip-add was ~1 ms of pure HBM traffic on the headline
+    # bench (round 4).  Training keeps the default (losses are computed at
+    # label resolution, reference train_mm.py semantics).
+    upsample_logits: bool = True
 
     @nn.compact
     def __call__(
@@ -83,7 +90,8 @@ class CMNeXt(nn.Module):
             dtype=self.dtype, name="decode_head_dte"
         )(feats_dte, train)
 
-        y = resize_bilinear(y, size, align_corners=False)
-        y_rgb = resize_bilinear(y_rgb, size, align_corners=False)
-        y_dte = resize_bilinear(y_dte, size, align_corners=False)
+        if self.upsample_logits:
+            y = resize_bilinear(y, size, align_corners=False)
+            y_rgb = resize_bilinear(y_rgb, size, align_corners=False)
+            y_dte = resize_bilinear(y_dte, size, align_corners=False)
         return y, y_rgb, y_dte
