@@ -127,16 +127,21 @@ def main():
 
     t0 = time.time()
     state2, met = step(state, batch, jax.random.PRNGKey(7))
-    jax.block_until_ready(met["loss"])
+    loss0 = float(met["loss"])  # scalar fetch: block_until_ready lies
     compile_s = time.time() - t0
+    # honest steady-state: chain 3 steps, fetch the last loss (the state
+    # data dependency serializes the steps; one ~25 ms RTT amortized over 3)
     t0 = time.time()
-    state3, met = step(state2, batch, jax.random.PRNGKey(8))
-    jax.block_until_ready(met["loss"])
+    s = state2
+    for k in (8, 9, 10):
+        s, met = step(s, batch, jax.random.PRNGKey(k))
+    loss = float(met["loss"])
+    step_ms = (time.time() - t0) / 3.0 * 1000.0
     print(json.dumps({
         "variant": VARIANT, "ok": True, "init_s": round(init_s, 1),
         "compile_s": round(compile_s, 1),
-        "step2_s": round(time.time() - t0, 2),
-        "loss": float(met["loss"]),
+        "step_ms": round(step_ms, 1),
+        "loss": loss, "loss_first": loss0,
     }), flush=True)
 
 
