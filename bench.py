@@ -208,18 +208,18 @@ def run_config(env: dict) -> dict:
     """Build + time the whole predict under the given kernel config."""
     for k, v in env.items():
         os.environ[k] = v
+    # round-4: heads return H/4 logits; the sliding wrapper flip-ensembles
+    # at low res and upsamples ONCE (exact by bilinearity,
+    # tests/test_eval_lowres.py) — removes the full-res (2B, H, W, C)
+    # flip-add + astype HBM traffic.  Default ON; IR_ADS_EVAL_LOWRES=0 opts out.
+    lowres = os.environ.get("IR_ADS_EVAL_LOWRES", "1") not in ("", "0")
     try:
         model = CMNeXt(
             backbone="SwinTransformer-B",
             num_classes=NUM_CLASSES,
             dtype=jnp.bfloat16,
             mmst_mask=False,
-            # round-4: heads return H/4 logits; the sliding wrapper
-            # flip-ensembles at low res and upsamples ONCE (exact by
-            # bilinearity, tests/test_eval_lowres.py) — removes the
-            # full-res (2B, H, W, C) flip-add + astype HBM traffic
-            upsample_logits=os.environ.get("IR_ADS_EVAL_LOWRES", "1")
-            in ("", "0"),
+            upsample_logits=not lowres,
         )
         # FLAT (B, H, W*3) lane-dense feed (round-4): an NHWC trailing dim
         # of 3 forces (8,128)-tiled device buffers padded 42x; the host

@@ -5,8 +5,8 @@ cd /root/repo
 mkdir -p dev/logs
 for v in small fullprod; do
   case $v in
-    small)    args="small";    env="" ;;
-    fullprod) args="full";     env="" ;;
+    small)    args="small" ;;
+    fullprod) args="full" ;;
   esac
   echo "=== $v ==="
   timeout 1800 python dev/probe_dino_train_ladder.py $args \

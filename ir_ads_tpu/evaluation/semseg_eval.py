@@ -83,11 +83,19 @@ def msf_logits(
 
         return pre
 
-    @jax.jit
-    def post(logits, acc):
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def post(logits, acc, nh, nw):
         m = logits.shape[0] // 2 if flip else logits.shape[0]
         if flip:
             logits = jnp.concatenate([logits[:m], logits[m:, :, ::-1]], 0)
+        if logits.shape[1:3] != (nh, nw):
+            # head-native (H/4) logits from CMNeXt(upsample_logits=False):
+            # reproduce the reference two-stage path exactly — the model's
+            # align_corners=False upsample to the scaled resolution first
+            # (cmnext.py forward), THEN the MSF align_corners=True resize
+            # to full size (val_mm.py:100).  Collapsing the two into one
+            # resize would silently diverge from the reference numerics.
+            logits = resize_bilinear(logits, (nh, nw), align_corners=False)
         logits = resize_bilinear(logits, (h, w), align_corners=True)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         if flip:
@@ -101,7 +109,7 @@ def msf_logits(
         logits = forward(srgb, sdte)
         if acc is None:
             acc = jnp.zeros((b, h, w, logits.shape[-1]), jnp.float32)
-        acc = post(logits, acc)
+        acc = post(logits, acc, nh, nw)
     return acc
 
 

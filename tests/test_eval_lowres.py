@@ -60,6 +60,30 @@ def test_sliding_lowres_matches_fullres():
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
+def test_msf_lowres_matches_fullres():
+    # msf_logits must reproduce the reference two-stage resize for
+    # head-native logits: model align_corners=False upsample to the scaled
+    # resolution, THEN the align_corners=True MSF resize (ADVICE r4 medium).
+    from ir_ads_tpu.evaluation.semseg_eval import msf_logits
+
+    b, h, w = 1, 32, 32
+    rng = np.random.RandomState(3)
+    rgb = jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32))
+    dte = jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32))
+
+    hi = _tiny(True)
+    variables = hi.init({"params": jax.random.PRNGKey(0)}, rgb, dte)
+    lo = _tiny(False)
+
+    def make(model):
+        return lambda r, d: model.apply(variables, r, d, False)[0]
+
+    scales = (1.0, 1.5)
+    want = np.asarray(msf_logits(make(hi), rgb, dte, scales=scales))
+    got = np.asarray(msf_logits(make(lo), rgb, dte, scales=scales))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
 def test_sliding_lowres_matches_fullres_multitile():
     # tile < image: the low-res upsample must land at TILE resolution
     # before the overlap-add
