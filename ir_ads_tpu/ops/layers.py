@@ -268,12 +268,39 @@ class PatchEmbed(nn.Module):
                 x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w * c)))
                 h, w = h + pad_h, w + pad_w
             wk, bias = _Conv2DParams((p, p, c, self.embed_dim), name="proj")()
+            wk2 = wk.reshape(p * p * c, self.embed_dim)
+            import os
+
+            # default stays xla until the in-context A/B decides (repo
+            # discipline: kernels are opt-in until measured a win)
+            impl = os.environ.get("IR_ADS_PATCH_EMBED", "xla")
+            if impl == "auto":
+                impl = (
+                    "pallas" if jax.default_backend() == "tpu" else "xla"
+                )
+            if impl == "pallas":
+                # round-5 fused kernel: the patchify relayout happens in
+                # VMEM instead of HBM and the projection + LayerNorm ride
+                # the same pass (ops/pallas_patch.py).  Same rounding
+                # points as the XLA path below; backward recomputes the
+                # XLA twin (eval is the hot path).
+                from ir_ads_tpu.ops.pallas_patch import fused_patch_embed
+
+                if self.use_norm:
+                    ls, lb = _LNScaleBias(self.embed_dim, name="norm")()
+                else:
+                    ls = jnp.ones((self.embed_dim,), jnp.float32)
+                    lb = jnp.zeros((self.embed_dim,), jnp.float32)
+                cdt = self.dtype or x.dtype
+                return fused_patch_embed(
+                    x.astype(cdt), wk2.astype(cdt), bias, ls, lb, p, c,
+                    self.use_norm,
+                )
             xp = (
                 x.reshape(b, h // p, p, w // p, p * c)
                 .transpose(0, 1, 3, 2, 4)
                 .reshape(b, h // p, w // p, p * p * c)
             )
-            wk2 = wk.reshape(p * p * c, self.embed_dim)
             if self.dtype is not None:
                 xp, wk2, bias = (
                     xp.astype(self.dtype),

@@ -350,7 +350,8 @@ def shift_region_ids(hp: int, wp: int, ws: int, shift: int) -> np.ndarray:
 
 
 def _heads_attention(
-    qkvw, bias, neq, outw_ref, *, scale, heads, cdt, packed, layout="tall"
+    qkvw, bias, neq, outw_ref, *, scale, heads, cdt, packed, layout="tall",
+    typed_mcol=None, typed_nw=0,
 ):
     """Per-head window attention on a VMEM-resident (G, N, 3C) block,
     writing (G, N, C) into ``outw_ref``.
@@ -441,8 +442,20 @@ def _heads_attention(
     # the per-(grid step, head group) neq build + where pass, which the
     # round-3 probe measured at ~2.0 ms of a 2.165 ms shifted stage-0 v4
     # call (dev/probe_r3_stage_kernels.py: shift6 2.165 vs shift0 0.165).
-    folded = neq is None
+    # typed mode (typed_mcol is not None, BIASMASK=3): ``bias`` is the
+    # per-ROW (rows, heads, N, N) bias+rowmask slab for THIS band and
+    # typed_mcol the shared (N, N) last-column mask — the bias add stays a
+    # row-broadcast (same volume as the plain bias add) and the column
+    # mask touches only 1/nwin_w of the scores; no neq/tile/where at all.
+    typed = typed_mcol is not None
+    folded = neq is None and not typed
 
+    if typed:
+        assert layout != "wide" or not packed or p <= 1, (
+            "typed bias mode is implemented for the tall/unpacked layouts"
+        )
+        rows_b = bias.shape[0]
+        nw_t = typed_nw
     if packed and p > 1 and heads % p == 0 and layout == "wide":
         pd = p * d
         row_head = jax.lax.broadcasted_iota(jnp.int32, (p * n, pd), 0) // n
@@ -518,7 +531,11 @@ def _heads_attention(
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            if folded:
+            if typed:
+                s4 = s.reshape(rows_b, nw_t, n, n) + bias[:, h][:, None]
+                s4 = s4.at[:, nw_t - 1 : nw_t].add(typed_mcol[None, None])
+                s = s4.reshape(g_, n, n)
+            elif folded:
                 s = s + bias[:, h]
             else:
                 s = s + bias[h][None]
@@ -539,8 +556,10 @@ def _heads_attention(
         jax.lax.broadcasted_iota(jnp.int32, (p, 1, pd), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (p, 1, pd), 2) // d
     ).astype(jnp.float32)
-    if not folded:
+    if not folded and not typed:
         neq_t = jnp.tile(neq, (1, p, 1))  # (G, pN, N)
+    if typed:
+        mcol_t = jnp.concatenate([typed_mcol] * p, axis=0)  # (pN, N)
     lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, pd), 1) // d
     for h0 in range(0, heads, p):
         q = qkvw[:, :, h0 * d : h0 * d + pd]
@@ -565,7 +584,14 @@ def _heads_attention(
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # (G, pN, N) f32
-        if folded:
+        if typed:
+            # row-broadcast bias+rowmask add (same volume as the plain
+            # bias add) + the column mask on each row's LAST window only
+            bb = bias[:, h0 : h0 + p].reshape(rows_b, p * n, n)
+            s4 = s.reshape(rows_b, nw_t, p * n, n) + bb[:, None]
+            s4 = s4.at[:, nw_t - 1 : nw_t].add(mcol_t[None, None])
+            s = s4.reshape(g_, p * n, n)
+        elif folded:
             # (G, p, N, N) -> (G, pN, N): leading-dim merge into sublanes
             s = s + bias[:, h0 : h0 + p].reshape(g_, p * n, n)
         else:
@@ -659,6 +685,16 @@ def _biasmask_mode() -> str:
               selected by index-map arithmetic — it stays VMEM-resident
               across bands instead of streaming a fresh 4-6 MB block per
               band, and the kernel runs the same single-add folded branch.
+      '3'     round-5 WINDOW-TYPE decomposition (v4 path): the shift mask
+              decomposes exactly into (per-window-ROW base) + (one shared
+              last-COLUMN extra) — verified in numpy at trace time from
+              the static geometry (_typed_mask_parts).  The kernel then
+              adds a tiny (2, rows, heads, N, N) bias+rowmask slab (band-
+              selected like '2' but ROW-sized, not window-sized) plus one
+              (N, N) column mask on each row's last window.  No neq build,
+              no tile, no where — the masked-entry arithmetic (+-1e9 adds)
+              underflows in exp exactly like the legacy where path, so
+              softmax outputs are bitwise identical.
     """
     import os
 
@@ -693,6 +729,40 @@ def _neq_mask(region_full: jax.Array, kind: str) -> jax.Array:
     """(nW, N) region ids -> (nW, N, N) neq mask in i8/i32 (1 = masked)."""
     neq = region_full[:, :, None] != region_full[:, None, :]
     return neq.astype(jnp.int8 if kind == "i8" else jnp.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _typed_mask_parts(hp, wp, ws, shift, rows_per_step):
+    """Window-TYPE decomposition of the shift mask (BIASMASK=3).
+
+    In a standard Swin shift grid only the wrap row/column windows carry a
+    mask; concretely the per-window neq mask decomposes as
+
+        mask[row R, col C] == base[R]  |  (col_extra if C == last else 0)
+
+    with base[R] identical for every non-wrap row.  This is VERIFIED here
+    in numpy (static geometry, trace time); returns None when the
+    decomposition doesn't hold (then callers fall back to the legacy
+    in-kernel compare) else (base (nwin_h, N, N) bool, col_extra (N, N)
+    bool).  Requires the per-band slab trick's band structure: all bands
+    except the last share one row pattern."""
+    r = shift_region_ids(hp, wp, ws, shift)  # (nW, n) numpy
+    nwin_h, nwin_w = hp // ws, wp // ws
+    n = ws * ws
+    neq = (r[:, :, None] != r[:, None, :]).reshape(nwin_h, nwin_w, n, n)
+    base = neq[:, 0]  # (nwin_h, n, n)
+    if nwin_w > 1 and not (neq[:, :-1] == base[:, None]).all():
+        return None
+    col = neq[0, -1] & ~base[0]
+    if not ((base | col[None]) == neq[:, -1]).all():
+        return None
+    if nwin_h % rows_per_step:
+        return None
+    nb = nwin_h // rows_per_step
+    rows_t = base.reshape(nb, rows_per_step, n, n)
+    if nb > 1 and not (rows_t[:-1] == rows_t[0]).all():
+        return None
+    return base, col
 
 
 def _fold_bias_region(bias: jax.Array, region_full: jax.Array) -> jax.Array:
@@ -981,7 +1051,15 @@ def _attn_kernel_v4(
         .transpose(0, 2, 1, 3, 4)
         .reshape(rows * nwin_w, n, 3 * c)
     )
-    if folded:
+    if folded == "typed":
+        # bias_ref: (1, rows, heads, N, N) band slab; region_ref slot
+        # carries the shared (N, N) f32 column mask (no region ids at all)
+        _heads_attention(
+            qkvw, bias_ref[0], None, outw_ref,
+            scale=scale, heads=heads, cdt=cdt, packed=packed, layout=layout,
+            typed_mcol=region_ref[...], typed_nw=nwin_w,
+        )
+    elif folded:
         _heads_attention(
             qkvw, bias_ref[0], None, outw_ref,
             scale=scale, heads=heads, cdt=cdt, packed=packed, layout=layout,
@@ -1184,8 +1262,37 @@ def pallas_window_block(
         return out
 
     bm_mode = _biasmask_mode() if region is not None else ""
+    if bm_mode == "3":
+        # window-TYPE decomposition: valid only when the region ids are the
+        # standard shift grid for this (static) geometry and the layout is
+        # tall/unpacked; falls back to the legacy in-kernel compare else.
+        parts = (
+            _typed_mask_parts(hp, wpx, ws, shift, rows_per_step)
+            if shift > 0 else None
+        )
+        if parts is None or (
+            _packed_enabled() and _packed_layout() == "wide"
+        ):
+            bm_mode = ""
     folded = bool(bm_mode)
-    if bm_mode == "2":
+    if bm_mode == "3":
+        base, colx = parts
+        nwh = hp // ws
+        # (2, rows, N, N) bool: [normal-band rows, last-band rows]
+        slab_np = np.stack(
+            [base[:rows_per_step], base[nwh - rows_per_step :]]
+        ).astype(np.float32) * np.float32(-1e9)
+        bias_arg = (
+            bias.astype(jnp.float32)[None, None]
+            + jnp.asarray(slab_np)[:, :, None]
+        )  # (2, rows, heads, N, N)
+        bias_spec = pl.BlockSpec(
+            (1, rows_per_step, heads, n, n),
+            lambda i, j, nb=n_bands: ((j + 1) // nb, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        folded = "typed"
+    elif bm_mode == "2":
         # band-TYPE slab: every band shares the first band's mask pattern
         # except the last (vertical wrap row).  (2, g, heads, n, n) stays
         # VMEM-resident (same block id for bands 0..n-2).
@@ -1215,7 +1322,11 @@ def pallas_window_block(
         bias_spec = wspec(heads, n, n)
 
     mask_kind = _mask8_enabled() if (region is not None and not folded) else ""
-    if mask_kind:
+    if folded == "typed":
+        # region slot repurposed: the shared (N, N) f32 last-column mask
+        region_arg = jnp.asarray(colx.astype(np.float32) * np.float32(-1e9))
+        region_spec = wspec(n, n)
+    elif mask_kind:
         region_arg = _neq_mask(region_full, mask_kind).reshape(
             n_bands, g, n, n
         )

@@ -198,6 +198,7 @@ def test_detection_train_step_end_to_end():
     assert sum(d_after) > 0  # ema lags params after update
 
 
+@pytest.mark.slow  # opt-in IR_ADS_DET_CRIT=vmap path, 2 criterion builds
 def test_detection_losses_vmap_matches_loop(monkeypatch):
     """IR_ADS_DET_CRIT=vmap (one batched criterion instance over decoder
     levels — the round-4 fix for the train-step HLO exceeding the relay

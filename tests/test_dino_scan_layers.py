@@ -80,6 +80,8 @@ def test_scan_param_tree_shape_matches_init():
     assert paths_u == paths_s
 
 
+@pytest.mark.slow  # one full DINOTransformer init (~20 s); param-tree
+# roundtrip logic is covered structurally by the scan-vs-unrolled tests
 def test_stack_unstack_roundtrip():
     feats = _feats(jax.random.PRNGKey(0))
     params = DINOTransformer(**KW).init(jax.random.PRNGKey(1), feats)["params"]

@@ -236,6 +236,8 @@ def test_dattention_xla_packed_rpe_matches_xla(monkeypatch):
     )
 
 
+@pytest.mark.slow  # opt-in RPE_XLA=2 variant (measured a perf loss;
+# kept for the ledger) — equivalence needn't run in the fast tier
 def test_dattention_xla_headfirst_rpe_matches_xla(monkeypatch):
     """Round-4 head-first single-einsum rpe (IR_ADS_DSCF_RPE_XLA=2) in the
     XLA attention branch == the two-call hg-minor einsum path (same math,

@@ -11,6 +11,7 @@ val_mm.py:30-62).
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,6 +40,8 @@ def _tiny(upsample):
     )
 
 
+@pytest.mark.slow  # ~85 s of tiny-model CPU compiles; the multitile
+# variant below keeps the exactness pinned in the fast tier
 def test_sliding_lowres_matches_fullres():
     b, h, w = 2, 32, 32
     rng = np.random.RandomState(1)
@@ -60,6 +63,7 @@ def test_sliding_lowres_matches_fullres():
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow  # ~45 s: two msf_logits builds of the tiny model
 def test_msf_lowres_matches_fullres():
     # msf_logits must reproduce the reference two-stage resize for
     # head-native logits: model align_corners=False upsample to the scaled

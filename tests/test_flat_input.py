@@ -47,3 +47,22 @@ def test_cmnext_flat_matches_nhwc():
         variables, rgb.reshape(b, h, w * 3), dte.reshape(b, h, w * 3), False
     )[0]
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_patch_embed_pallas_kernel_bitwise(monkeypatch):
+    """IR_ADS_PATCH_EMBED=pallas (round-5 fused patchify kernel): bitwise
+    vs the XLA flat path in interpret mode (same rounding points)."""
+    import os
+
+    from ir_ads_tpu.ops.layers import PatchEmbed
+
+    monkeypatch.setenv("IR_ADS_PALLAS_INTERPRET", "1")
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 16, 24 * 3).astype(np.float32))
+    pe = PatchEmbed(embed_dim=32, patch_size=4, dtype=jnp.bfloat16)
+    variables = pe.init(jax.random.PRNGKey(0), x)
+    monkeypatch.setenv("IR_ADS_PATCH_EMBED", "xla")
+    want = np.asarray(pe.apply(variables, x), np.float32)
+    monkeypatch.setenv("IR_ADS_PATCH_EMBED", "pallas")
+    got = np.asarray(pe.apply(variables, x), np.float32)
+    np.testing.assert_array_equal(got, want)

@@ -51,6 +51,8 @@ def test_pallas_msdeform_matches_xla(shapes, bs, heads, d, lq, points):
     )
 
 
+@pytest.mark.slow  # the Pallas msdeform kernel is opt-in (dead on the
+# relay toolchain); one matches_xla case stays fast as the smoke check
 def test_pallas_msdeform_grads_match_xla():
     value, shapes, loc, w = _data(1, ((8, 8), (4, 4), (2, 2)), 1, 4, 8, 50, 4)
 
@@ -71,6 +73,7 @@ def test_pallas_msdeform_grads_match_xla():
         )
 
 
+@pytest.mark.slow
 def test_pallas_msdeform_chunked_f32_path(monkeypatch):
     """Force f32_chunks > 1 (the big-shape VMEM-bounding path)."""
     monkeypatch.setenv("IR_ADS_MSDEFORM_CHUNKS", "2")
@@ -82,6 +85,7 @@ def test_pallas_msdeform_chunked_f32_path(monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_pallas_msdeform_bf16_and_query_padding():
     """bf16 values + a query count that does not divide the tile size."""
     value, shapes, loc, w = _data(

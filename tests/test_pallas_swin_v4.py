@@ -352,6 +352,39 @@ def test_mask8_precomputed_neq_bitwise(kind, monkeypatch):
     np.testing.assert_array_equal(np.asarray(g5), np.asarray(b5))
 
 
+def test_biasmask_typed_bitwise(monkeypatch):
+    """IR_ADS_SWIN_BIASMASK=3 (round-5 window-TYPE decomposition): the
+    per-row slab + shared column-mask adds produce BITWISE-identical
+    softmax outputs to the in-kernel compare (masked entries underflow to
+    exact 0.0 in exp either way; unmasked entries see the same adds).
+    Covers packed-tall and unpacked, multi-band and single-band, and a
+    rows_per_step=2 band containing the wrap row."""
+    ws = 4
+    key = jax.random.PRNGKey(43)
+    c, heads = 128, 4
+    p = _params(key, c, heads, ws)
+    args = [p[k] for k in ORDER]
+    scale = (c // heads) ** -0.5
+    for hp, wp, rows in ((24, 8, 1), (16, 12, 2), (8, 8, 2)):
+        x = jax.random.normal(
+            jax.random.PRNGKey(44), (2, hp, wp, c), jnp.float32
+        )
+        region = jnp.asarray(shift_region_ids(hp, wp, ws, 2))
+        for packed in ("1", "0"):
+            monkeypatch.setenv("IR_ADS_SWIN_PACKED", packed)
+            monkeypatch.setenv("IR_ADS_SWIN_BIASMASK", "0")
+            base = pallas_window_block(
+                x, *args, region, scale, heads, ws, shift=2,
+                rows_per_step=rows, interpret=True,
+            )
+            monkeypatch.setenv("IR_ADS_SWIN_BIASMASK", "3")
+            got = pallas_window_block(
+                x, *args, region, scale, heads, ws, shift=2,
+                rows_per_step=rows, interpret=True,
+            )
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+
 @pytest.mark.parametrize("mode", ["1", "2"])
 def test_biasmask_folded_slab_matches_default(mode, monkeypatch):
     """IR_ADS_SWIN_BIASMASK: the folded bias+mask slab (per-band '1' and

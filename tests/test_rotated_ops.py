@@ -43,6 +43,7 @@ def _raster_iou(b1, b2, res=400, extent=8.0):
     return inter / max(union, 1)
 
 
+@pytest.mark.slow  # exhaustive grids; axis-aligned test stays fast
 def test_rotated_iou_identity_and_zero():
     b = jnp.asarray([[0.0, 0.0, 2.0, 1.0, 30.0]])
     iou = box_iou_rotated(b, b)
@@ -51,6 +52,7 @@ def test_rotated_iou_identity_and_zero():
     np.testing.assert_allclose(np.asarray(box_iou_rotated(b, far)), [[0.0]], atol=1e-6)
 
 
+@pytest.mark.slow  # rasterization oracle sweep (~17 s)
 def test_rotated_iou_matches_rasterization():
     rng = np.random.RandomState(0)
     boxes1 = np.stack([
