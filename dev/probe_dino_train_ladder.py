@@ -93,10 +93,16 @@ def main():
                 imgs, labels, boxes, valid,
                 train=True, rngs={"cdn": k}, mutable=["batch_stats"],
             )
+            masks_term = (
+                jnp.sum(out["pred_mask_embeds"].astype(jnp.float32) ** 2)
+                + jnp.sum(out["seg_feat"].astype(jnp.float32) ** 2)
+                if "pred_mask_embeds" in out
+                else jnp.sum(out["pred_masks"].astype(jnp.float32) ** 2)
+            )
             return (
                 jnp.sum(out["pred_logits"].astype(jnp.float32) ** 2)
                 + jnp.sum(out["pred_boxes"].astype(jnp.float32))
-                + jnp.sum(out["pred_masks"].astype(jnp.float32) ** 2)
+                + masks_term
             )
 
         grad = jax.jit(jax.grad(loss_fn))

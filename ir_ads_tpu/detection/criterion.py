@@ -172,6 +172,9 @@ def set_criterion(
     mask_key: Optional[jax.Array] = None,
     weights: Optional[Dict[str, float]] = None,
     num_points: int = 12544,
+    mask_embeds: Optional[jax.Array] = None,  # (B, Q, D) alternative to
+    seg_feat: Optional[jax.Array] = None,     # pred_masks: matched masks
+    seg_hw: Optional[Tuple[int, int]] = None,  # are computed post-match
 ) -> Dict[str, jax.Array]:
     """One decoder level's Hungarian-matched losses
     (TwoStageCriterion semantics)."""
@@ -194,7 +197,28 @@ def set_criterion(
     l1, giou = box_loss(pred_boxes, gt_boxes, gt_valid, match_q, num_boxes)
     losses["loss_bbox"] = w["loss_bbox"] * l1
     losses["loss_giou"] = w["loss_giou"] * giou
-    if pred_masks is not None and gt_masks is not None:
+    if mask_embeds is not None and gt_masks is not None:
+        # matched-queries-only mask product (round-5 memory fix): gather
+        # the G matched embeddings FIRST, then one small einsum against
+        # the seg features — bitwise the gather of the full (Q, Hm*Wm)
+        # product (same per-query dot), but never materializes it
+        # (~0.8 GB/layer at production shapes -> host-spill copies,
+        # dev/logs/r5a_profile.log).
+        h0, w0 = seg_hw
+        matched_emb = jnp.take_along_axis(
+            mask_embeds, match_q[..., None], axis=1
+        )  # (B, G, D)
+        matched_masks = jnp.einsum(
+            "bgd,bsd->bgs", matched_emb, seg_feat,
+            preferred_element_type=jnp.float32,
+        ).reshape(*match_q.shape, h0, w0)
+        ce, dice = point_sampled_mask_loss(
+            matched_masks, gt_masks, gt_valid, num_boxes, mask_key,
+            num_points=num_points,
+        )
+        losses["loss_mask"] = w["loss_mask"] * ce
+        losses["loss_dice"] = w["loss_dice"] * dice
+    elif pred_masks is not None and gt_masks is not None:
         matched_masks = jnp.take_along_axis(
             pred_masks, match_q[..., None, None], axis=1
         )

@@ -202,9 +202,6 @@ class DINODetector(nn.Module):
                 preferred_element_type=jnp.float32,
             ).reshape(b, states.shape[1], h0, w0)
 
-        pred_masks = jnp.stack(
-            [mask_logits(mask_heads[i], hidden[i]) for i in range(self.num_decoder_layers)]
-        )
         pred_rois = jnp.stack(
             [nn.relu(roi_heads[i](hidden[i])) for i in range(self.num_decoder_layers)]
         )
@@ -212,16 +209,38 @@ class DINODetector(nn.Module):
         result = {
             "pred_logits": out["pred_logits"],  # (L, B, Qtot, C)
             "pred_boxes": out["pred_boxes"],  # (L, B, Qtot, 4)
-            "pred_masks": pred_masks,  # (L, B, Qtot, h0, w0)
             "pred_rois": pred_rois,
             "pred_queries": hidden,  # (L, B, Qtot, C)
             "enc_logits": out["enc_class"],
             "enc_boxes": out["enc_coord"],
-            "enc_masks": mask_logits(mask_heads[-1], out["enc_state"]),
             "enc_rois": nn.relu(roi_heads[-1](out["enc_state"])),
             "n_dn": 2 * self.max_gt * n_groups,
             "n_groups": n_groups,
         }
+        if train:
+            # round-5 memory fix: the full per-layer mask stack
+            # (L, B, Qtot, h0, w0) is ~0.8 GB f32 at 800x1216/2000q and
+            # forced XLA into host-spill copies (dev/logs/r5a_profile.log:
+            # S(1) copy-starts).  Training only ever consumes MATCHED
+            # queries' masks, and the query->mask product is linear, so the
+            # criterion computes matched masks from the embeddings + seg
+            # features itself (bitwise the gather of the full product —
+            # same per-query dot).  Reference computes the full stack
+            # (dino.py:818-871) only because CUDA memory made it free-ish.
+            result["pred_mask_embeds"] = jnp.stack(
+                [mask_heads[i](hidden[i])
+                 for i in range(self.num_decoder_layers)]
+            )  # (L, B, Qtot, seg_dim)
+            result["enc_mask_embed"] = mask_heads[-1](out["enc_state"])
+            result["seg_feat"] = seg_flat  # (B, h0*w0, seg_dim)
+            result["seg_hw"] = (h0, w0)
+        else:
+            pred_masks = jnp.stack(
+                [mask_logits(mask_heads[i], hidden[i])
+                 for i in range(self.num_decoder_layers)]
+            )
+            result["pred_masks"] = pred_masks  # (L, B, Qtot, h0, w0)
+            result["enc_masks"] = mask_logits(mask_heads[-1], out["enc_state"])
         return result
 
     def num_outs_static(self) -> int:

@@ -506,6 +506,15 @@ class MSDeformAttention(nn.Module):
             raise ValueError("reference_points last dim must be 2 or 4")
 
         out = ms_deform_attn(v, spatial_shapes, locations, weights)
+        # named checkpoint point: under the remat-scanned enc/dec stacks
+        # (transformer.py) the save_only_these_names policy keeps THIS
+        # tensor ((B, Lq, C) f32, ~20 MB/enc layer at 800x1216) so the
+        # backward skips re-running the sampling gathers — the largest
+        # single slice of the encoder backward scan
+        # (dev/logs/r5a_profile.log: while.209).
+        from jax.ad_checkpoint import checkpoint_name
+
+        out = checkpoint_name(out, "msdeform_out")
         out = nn.Dense(self.embed_dim, dtype=self.dtype, name="output_proj")(out)
         if self.dropout > 0.0 and not deterministic:
             out = nn.Dropout(self.dropout)(out, deterministic=False)

@@ -55,6 +55,18 @@ def detection_losses(
 
     import os
 
+    # round-5: the model emits mask EMBEDDINGS + seg features in train
+    # mode; the criterion computes matched masks itself (criterion.py
+    # set_criterion mask_embeds path).  pred_masks is the legacy/test
+    # input form.
+    embeds_mode = "pred_mask_embeds" in outputs
+    mask_stack = (
+        outputs["pred_mask_embeds"] if embeds_mode
+        else outputs["pred_masks"]
+    )
+    seg_feat = outputs.get("seg_feat")
+    seg_hw = outputs.get("seg_hw")
+
     def _layer_losses(logits, boxes, masks, sub):
         """One decoder level's dn + Hungarian losses (pure in its args,
         so it can run unrolled OR under vmap)."""
@@ -69,13 +81,21 @@ def detection_losses(
                     outputs["n_groups"],
                 )
             )
+        use_masks = gt_masks is not None
         lvl.update(
             set_criterion(
                 logits, boxes, gt_labels, gt_boxes, gt_valid,
-                pred_masks=masks if gt_masks is not None else None,
+                pred_masks=(
+                    masks if use_masks and not embeds_mode else None
+                ),
                 gt_masks=gt_masks,
                 mask_key=sub,
                 num_points=mask_loss_points,
+                mask_embeds=(
+                    masks if use_masks and embeds_mode else None
+                ),
+                seg_feat=seg_feat,
+                seg_hw=seg_hw,
             )
         )
         return lvl
@@ -92,7 +112,7 @@ def detection_losses(
         subs = jax.random.split(sub, n_layers)
         stacked = jax.vmap(_layer_losses)(
             outputs["pred_logits"], outputs["pred_boxes"],
-            outputs["pred_masks"], subs,
+            mask_stack, subs,
         )
         for k, v in stacked.items():
             for lvl in range(n_layers):
@@ -103,7 +123,7 @@ def detection_losses(
             lvl_losses = _layer_losses(
                 outputs["pred_logits"][lvl],
                 outputs["pred_boxes"][lvl],
-                outputs["pred_masks"][lvl],
+                mask_stack[lvl],
                 sub,
             )
             for k, v in lvl_losses.items():
@@ -111,13 +131,21 @@ def detection_losses(
 
     # encoder stage (enc_outputs in the reference)
     key, sub = jax.random.split(key)
+    use_masks = gt_masks is not None
     enc_losses = set_criterion(
         outputs["enc_logits"], outputs["enc_boxes"],
         gt_labels, gt_boxes, gt_valid,
-        pred_masks=outputs["enc_masks"] if gt_masks is not None else None,
+        pred_masks=(
+            outputs["enc_masks"] if use_masks and not embeds_mode else None
+        ),
         gt_masks=gt_masks,
         mask_key=sub,
         num_points=mask_loss_points,
+        mask_embeds=(
+            outputs["enc_mask_embed"] if use_masks and embeds_mode else None
+        ),
+        seg_feat=seg_feat,
+        seg_hw=seg_hw,
     )
     for k, v in enc_losses.items():
         losses[f"{k}_enc"] = v

@@ -261,6 +261,20 @@ def make_output_proposals(
     return logit, valid
 
 
+def _remat_policy():
+    """Checkpoint policy for the remat-scanned enc/dec stacks: save the
+    deformable-sampling outputs (checkpoint_name "msdeform_out" in
+    MSDeformAttention) so the backward pass skips re-running the sampling
+    gathers — ~20 MB/enc layer at 800x1216 traded against the largest
+    single slice of the encoder backward scan (dev/logs/r5a_profile.log).
+    IR_ADS_DINO_REMAT_SAVE=none restores full recompute."""
+    import os
+
+    if os.environ.get("IR_ADS_DINO_REMAT_SAVE", "msdeform") == "msdeform":
+        return jax.checkpoint_policies.save_only_these_names("msdeform_out")
+    return None
+
+
 class _EncoderScanStep(nn.Module):
     """nn.scan body: ONE encoder layer per step with stacked params.
 
@@ -285,7 +299,10 @@ class _EncoderScanStep(nn.Module):
     def __call__(self, memory, pos_embed, enc_ref):
         layer = EncoderLayer
         if self.use_remat:
-            layer = nn.remat(EncoderLayer, static_argnums=(4, 6))
+            layer = nn.remat(
+                EncoderLayer, static_argnums=(4, 6),
+                policy=_remat_policy(),
+            )
         memory = layer(
             embed_dim=self.embed_dim, num_heads=self.num_heads,
             ffn_dim=self.ffn_dim, num_levels=self.num_levels,
@@ -331,7 +348,10 @@ class _DecoderScanStep(nn.Module):
         )
         layer = DecoderLayer
         if self.use_remat:
-            layer = nn.remat(DecoderLayer, static_argnums=(5, 8))
+            layer = nn.remat(
+                DecoderLayer, static_argnums=(5, 8),
+                policy=_remat_policy(),
+            )
         x = layer(
             embed_dim=c, num_heads=self.num_heads, ffn_dim=self.ffn_dim,
             num_levels=self.num_levels, dropout=self.dropout,
@@ -425,8 +445,14 @@ class DINOTransformer(nn.Module):
         enc_layer_cls = EncoderLayer
         dec_layer_cls = DecoderLayer
         if self.use_remat:
-            enc_layer_cls = nn.remat(EncoderLayer, static_argnums=(4, 6))
-            dec_layer_cls = nn.remat(DecoderLayer, static_argnums=(5, 8))
+            enc_layer_cls = nn.remat(
+                EncoderLayer, static_argnums=(4, 6),
+                policy=_remat_policy(),
+            )
+            dec_layer_cls = nn.remat(
+                DecoderLayer, static_argnums=(5, 8),
+                policy=_remat_policy(),
+            )
 
         if self.scan_layers:
             scan_cls = nn.scan(

@@ -296,6 +296,26 @@ class PatchEmbed(nn.Module):
                     x.astype(cdt), wk2.astype(cdt), bias, ls, lb, p, c,
                     self.use_norm,
                 )
+            if impl == "xla2":
+                # per-patch-row dots: avoids materializing the 5-D
+                # patchify transpose — each of the p patch rows is a pure
+                # stride slice + K=p*c dot accumulated into the output
+                cdt = self.dtype or x.dtype
+                wk3 = wk2.reshape(p, p * c, self.embed_dim).astype(cdt)
+                y = None
+                for r in range(p):
+                    xr = x[:, r::p, :].reshape(b, h // p, w // p, p * c)
+                    t = jnp.einsum(
+                        "bijk,ke->bije", xr.astype(cdt), wk3[r],
+                        preferred_element_type=jnp.float32,
+                    )
+                    y = t if y is None else y + t
+                x = (y.astype(cdt) + bias.astype(cdt)).astype(cdt)
+                if self.use_norm:
+                    x = nn.LayerNorm(
+                        epsilon=1e-5, dtype=self.dtype, name="norm"
+                    )(x)
+                return x
             xp = (
                 x.reshape(b, h // p, p, w // p, p * c)
                 .transpose(0, 1, 3, 2, 4)

@@ -532,8 +532,17 @@ def _heads_attention(
                 preferred_element_type=jnp.float32,
             )
             if typed:
+                # the last-column mask rides a broadcast select that fuses
+                # into the bias-add elementwise chain (Mosaic TC lowers
+                # neither scatter-add nor dynamic_slice, so no in-place
+                # slice update is possible here)
+                is_last = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, nw_t, 1, 1), 1
+                ) == nw_t - 1
                 s4 = s.reshape(rows_b, nw_t, n, n) + bias[:, h][:, None]
-                s4 = s4.at[:, nw_t - 1 : nw_t].add(typed_mcol[None, None])
+                s4 = s4 + jnp.where(
+                    is_last, typed_mcol[None, None], 0.0
+                )
                 s = s4.reshape(g_, n, n)
             elif folded:
                 s = s + bias[:, h]
@@ -588,8 +597,14 @@ def _heads_attention(
             # row-broadcast bias+rowmask add (same volume as the plain
             # bias add) + the column mask on each row's LAST window only
             bb = bias[:, h0 : h0 + p].reshape(rows_b, p * n, n)
+            # broadcast iota-select for the last-column mask: fuses into
+            # the bias-add chain (scatter-add / dynamic_slice are Mosaic
+            # TC walls, so no in-place slice update is possible)
+            is_last = jax.lax.broadcasted_iota(
+                jnp.int32, (1, nw_t, 1, 1), 1
+            ) == nw_t - 1
             s4 = s.reshape(rows_b, nw_t, p * n, n) + bb[:, None]
-            s4 = s4.at[:, nw_t - 1 : nw_t].add(mcol_t[None, None])
+            s4 = s4 + jnp.where(is_last, mcol_t[None, None], 0.0)
             s = s4.reshape(g_, p * n, n)
         elif folded:
             # (G, p, N, N) -> (G, pN, N): leading-dim merge into sublanes
@@ -1444,7 +1459,15 @@ def _attn_kernel_v5(
         .transpose(0, 2, 1, 3, 4)
         .reshape((hp // ws) * nwin_w, n, 3 * c)
     )
-    if folded:
+    if folded == "typed":
+        # bias_ref: (nwin_h, heads, N, N) per-row slab; region slot holds
+        # the shared (N, N) f32 last-column mask
+        _heads_attention(
+            qkvw, bias_ref[...], None, outw_ref,
+            scale=scale, heads=heads, cdt=cdt, packed=pack, layout=layout,
+            typed_mcol=region_ref[...], typed_nw=nwin_w,
+        )
+    elif folded:
         _heads_attention(
             qkvw, bias_ref[...], None, outw_ref,
             scale=scale, heads=heads, cdt=cdt, packed=pack, layout=layout,
@@ -1554,7 +1577,15 @@ def _attn_kernel_v6(
         .transpose(0, 2, 1, 3, 4)
         .reshape((hp // ws) * nwin_w, n, 3 * c)
     )
-    if folded:
+    if folded == "typed":
+        # bias_ref: (nwin_h, heads, N, N) per-row slab; region slot holds
+        # the shared (N, N) f32 last-column mask
+        _heads_attention(
+            qkvw, bias_ref[...], None, outw_ref,
+            scale=scale, heads=heads, cdt=cdt, packed=pack, layout=layout,
+            typed_mcol=region_ref[...], typed_nw=nwin_w,
+        )
+    elif folded:
         _heads_attention(
             qkvw, bias_ref[...], None, outw_ref,
             scale=scale, heads=heads, cdt=cdt, packed=pack, layout=layout,
@@ -1647,6 +1678,52 @@ def _attn_kernel_v6(
     ).reshape(h_, w_, c)
 
 
+def _wholemap_bias_region(
+    bias, region, region_full, hp, wp, ws, shift, heads, n, nw, pack, wspec
+):
+    """Shared v5/v6 whole-map bias/mask operand setup, including the
+    round-5 BIASMASK=3 window-TYPE decomposition (rows_per_step=1: the
+    per-window-row slab needs no band index map in a whole-map kernel).
+    Returns (bias_arg, bias_spec, region_arg, region_spec, folded,
+    mask_kind) where folded is False | True | "typed"."""
+    bm = _biasmask_mode() if region is not None else ""
+    typed_parts = None
+    if bm == "3":
+        typed_parts = (
+            _typed_mask_parts(hp, wp, ws, shift, 1) if shift > 0 else None
+        )
+        if typed_parts is None or (
+            pack > 1 and _packed_layout() == "wide"
+        ):
+            bm = ""
+    if bm == "3":
+        base, colx = typed_parts
+        rowmask = np.asarray(base, np.float32) * np.float32(-1e9)
+        bias_arg = bias.astype(jnp.float32)[None] + jnp.asarray(
+            rowmask
+        )[:, None]  # (nwin_h, heads, N, N)
+        bias_spec = wspec(hp // ws, heads, n, n)
+        region_arg = jnp.asarray(
+            np.asarray(colx, np.float32) * np.float32(-1e9)
+        )
+        return bias_arg, bias_spec, region_arg, wspec(n, n), "typed", ""
+    folded = bool(bm)
+    if folded:
+        bias_arg = _fold_bias_region(bias, region_full)
+        bias_spec = wspec(nw, heads, n, n)
+    else:
+        bias_arg = bias.astype(jnp.float32)
+        bias_spec = wspec(heads, n, n)
+    mask_kind = _mask8_enabled() if (region is not None and not folded) else ""
+    if mask_kind:
+        region_arg = _neq_mask(region_full, mask_kind)
+        region_spec = wspec(nw, n, n)
+    else:
+        region_arg = region_full
+        region_spec = wspec(nw, n)
+    return bias_arg, bias_spec, region_arg, region_spec, folded, mask_kind
+
+
 def pallas_window_block_v6(
     x: jax.Array,          # (B, H, W, C) REAL map
     attn_params,           # (ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias)
@@ -1715,20 +1792,11 @@ def pallas_window_block_v6(
         a_specs = [wspec(c, ca), wspec(1, ca), wspec(ca, c), wspec(1, c)]
         a_args = [aw1.astype(cdt), vec(ab1), aw2.astype(cdt), vec(ab2)]
 
-    folded = region is not None and _biasmask_enabled()
-    if folded:
-        bias_arg = _fold_bias_region(bias, region_full)
-        bias_spec = wspec(nw, heads, n, n)
-    else:
-        bias_arg = bias.astype(jnp.float32)
-        bias_spec = wspec(heads, n, n)
-    mask_kind = _mask8_enabled() if (region is not None and not folded) else ""
-    if mask_kind:
-        region_arg = _neq_mask(region_full, mask_kind)
-        region_spec = wspec(nw, n, n)
-    else:
-        region_arg = region_full
-        region_spec = wspec(nw, n)
+    (bias_arg, bias_spec, region_arg, region_spec, folded,
+     mask_kind) = _wholemap_bias_region(
+        bias, region, region_full, hp, wp, ws, shift, heads, n, nw, pack,
+        wspec,
+    )
     out = pl.pallas_call(
         functools.partial(
             _attn_kernel_v6, eps=eps, scale=scale, heads=heads, ws=ws,
@@ -1893,20 +1961,11 @@ def pallas_window_block_full(
             shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
         )
 
-    folded = region is not None and _biasmask_enabled()
-    if folded:
-        bias_arg = _fold_bias_region(bias, region_full)
-        bias_spec = wspec(nw, heads, n, n)
-    else:
-        bias_arg = bias.astype(jnp.float32)
-        bias_spec = wspec(heads, n, n)
-    mask_kind = _mask8_enabled() if (region is not None and not folded) else ""
-    if mask_kind:
-        region_arg = _neq_mask(region_full, mask_kind)
-        region_spec = wspec(nw, n, n)
-    else:
-        region_arg = region_full
-        region_spec = wspec(nw, n)
+    (bias_arg, bias_spec, region_arg, region_spec, folded,
+     mask_kind) = _wholemap_bias_region(
+        bias, region, region_full, hp, wp, ws, shift, heads, n, nw, pack,
+        wspec,
+    )
     out = pl.pallas_call(
         functools.partial(
             _attn_kernel_v5, eps=eps, scale=scale, heads=heads, ws=ws,

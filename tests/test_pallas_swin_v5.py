@@ -147,3 +147,39 @@ def test_v6_module_path_equivalence(sub_mode, batch):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
+
+
+def test_v5_v6_biasmask_typed_bitwise(monkeypatch):
+    """IR_ADS_SWIN_BIASMASK=3 in the whole-map kernels (v5/v6): the
+    per-window-row slab + shared column mask reproduce the in-kernel
+    region compare bitwise (masked logits underflow to exact 0 in exp
+    either way).  Pad + shift geometry with packed heads."""
+    from ir_ads_tpu.ops.pallas_swin import pallas_window_block_v6
+
+    rng = np.random.RandomState(2)
+    b, h, w, c, heads, ws, shift = 2, 14, 18, 128, 4, 4, 2
+    hp, wp = 16, 20
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    attn = tuple(_params(jax.random.PRNGKey(11), c, heads, ws))
+    tail = _tail_params_v6(jax.random.PRNGKey(12), c, 4 * c, 16)
+    region = jnp.asarray(shift_region_ids(hp, wp, ws, shift))
+    scale = (c // heads) ** -0.5
+
+    monkeypatch.setenv("IR_ADS_SWIN_BIASMASK", "0")
+    b5 = pallas_window_block_full(
+        x, *attn, region, scale, heads, ws, shift=shift, interpret=True
+    )
+    b6 = pallas_window_block_v6(
+        x, attn, tail, region, scale, heads, ws, shift=shift,
+        interpret=True,
+    )
+    monkeypatch.setenv("IR_ADS_SWIN_BIASMASK", "3")
+    g5 = pallas_window_block_full(
+        x, *attn, region, scale, heads, ws, shift=shift, interpret=True
+    )
+    g6 = pallas_window_block_v6(
+        x, attn, tail, region, scale, heads, ws, shift=shift,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(g5), np.asarray(b5))
+    np.testing.assert_array_equal(np.asarray(g6), np.asarray(b6))
