@@ -23,9 +23,9 @@ R5_ENV=(
   IR_ADS_FLAT_INPUT=1
 )
 
-note "clean A/B: BM3; PExla2; PEpallas; BM3+best-PE"
+note "clean A/B: BM3; PEpallas; offset-shift; BM3+offset-shift"
 env "${R5_ENV[@]}" timeout 9000 python dev/ablate_full.py --each \
-  "@IR_ADS_SWIN_BIASMASK=3@IR_ADS_PATCH_EMBED=xla;@IR_ADS_SWIN_BIASMASK=0@IR_ADS_PATCH_EMBED=xla2;@IR_ADS_SWIN_BIASMASK=0@IR_ADS_PATCH_EMBED=pallas;@IR_ADS_SWIN_BIASMASK=3@IR_ADS_PATCH_EMBED=xla2" \
+  "@IR_ADS_SWIN_BIASMASK=3@IR_ADS_PATCH_EMBED=xla@IR_ADS_DSCF_OFFSET=conv;@IR_ADS_SWIN_BIASMASK=0@IR_ADS_PATCH_EMBED=pallas@IR_ADS_DSCF_OFFSET=conv;@IR_ADS_SWIN_BIASMASK=0@IR_ADS_PATCH_EMBED=xla@IR_ADS_DSCF_OFFSET=shift;@IR_ADS_SWIN_BIASMASK=3@IR_ADS_PATCH_EMBED=xla@IR_ADS_DSCF_OFFSET=shift" \
   >> "$OUT" 2>&1
 
 echo "R5D_ALL_DONE" >> "$OUT"

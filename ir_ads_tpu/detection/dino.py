@@ -96,6 +96,8 @@ class DINODetector(nn.Module):
         gt_boxes: Optional[jax.Array] = None,  # (B, G, 4) cxcywh [0,1]
         gt_valid: Optional[jax.Array] = None,  # (B, G)
         train: bool = False,
+        want_masks: bool = True,  # eval-mode full mask stack is ~0.8 GB
+        # at production shapes; the EMA teacher pass never consumes it
     ) -> Dict[str, jax.Array]:
         x = (images - PIXEL_MEAN) / PIXEL_STD
         if self.dtype is not None:
@@ -234,7 +236,7 @@ class DINODetector(nn.Module):
             result["enc_mask_embed"] = mask_heads[-1](out["enc_state"])
             result["seg_feat"] = seg_flat  # (B, h0*w0, seg_dim)
             result["seg_hw"] = (h0, w0)
-        else:
+        elif want_masks:
             pred_masks = jnp.stack(
                 [mask_logits(mask_heads[i], hidden[i])
                  for i in range(self.num_decoder_layers)]

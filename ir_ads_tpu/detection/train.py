@@ -229,6 +229,9 @@ def make_detection_train_step(
                 {"params": state.ema_params, "batch_stats": state.batch_stats},
                 weak,
                 train=False,
+                # consistency only reads queries/boxes/logits — skip the
+                # ~0.8 GB eval-mode full mask stack (round-5 memory fix)
+                want_masks=False,
             )
             teacher_out = jax.lax.stop_gradient(teacher_out)
 

@@ -971,6 +971,24 @@ def _normal_around(mean: float, std: float):
     return init
 
 
+class _DWConvParams(nn.Module):
+    """Parameter container matching nn.Conv(feature_group_count=C)'s tree
+    ({kernel (K, K, 1, C), bias (C,)}) so the shift-FMA depthwise variant
+    keeps checkpoint compatibility."""
+
+    kernel_shape: Tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.kernel_shape
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.kernel_shape[-1],)
+        )
+        return k, b
+
+
 class LayerNormGELUOffset(nn.Module):
     """Offset-prediction head: depthwise conv → LN → GELU → 1x1 conv to 2
     (reference conv_offset_x/y, swin.py:759-770)."""
@@ -982,16 +1000,49 @@ class LayerNormGELUOffset(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        import os
+
         pad = self.ksize // 2 if self.ksize != self.stride else 0
-        x = nn.Conv(
-            self.channels,
-            (self.ksize, self.ksize),
-            strides=(self.stride, self.stride),
-            padding=pad,
-            feature_group_count=self.channels,
-            dtype=self.dtype,
-            name="dw",
-        )(x)
+        impl = os.environ.get("IR_ADS_DSCF_OFFSET", "conv")
+        if impl == "shift":
+            # round-5 variant: the depthwise KxK strided conv as K^2
+            # strided-slice FMAs (depthwise convs are VPU-lowered on TPU
+            # and profiled ~2.4 ms across the 8 offset heads).  Param tree
+            # identical to nn.Conv(feature_group_count=C) ({dw: {kernel
+            # (K, K, 1, C), bias (C,)}}), so checkpoints are unchanged.
+            k, s = self.ksize, self.stride
+            kern, dbias = _DWConvParams(
+                (k, k, 1, self.channels), name="dw"
+            )()
+            b_, hh, ww, cc = x.shape
+            hk = (hh + 2 * pad - k) // s + 1
+            wk = (ww + 2 * pad - k) // s + 1
+            xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+            acc = None
+            for dy in range(k):
+                for dx in range(k):
+                    sl = jax.lax.slice(
+                        xp,
+                        (0, dy, dx, 0),
+                        (b_, dy + (hk - 1) * s + 1,
+                         dx + (wk - 1) * s + 1, cc),
+                        (1, s, s, 1),
+                    ).astype(jnp.float32)
+                    t = sl * kern[dy, dx, 0].astype(jnp.float32)
+                    acc = t if acc is None else acc + t
+            x = (acc + dbias.astype(jnp.float32)).astype(
+                self.dtype or x.dtype
+            )
+        else:
+            x = nn.Conv(
+                self.channels,
+                (self.ksize, self.ksize),
+                strides=(self.stride, self.stride),
+                padding=pad,
+                feature_group_count=self.channels,
+                dtype=self.dtype,
+                name="dw",
+            )(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.gelu(x)
         x = nn.Conv(2, (1, 1), use_bias=False, dtype=self.dtype, name="pw")(x)

@@ -296,3 +296,24 @@ def test_dattention_pallas3_gradients(monkeypatch):
         np.asarray(flat_p3), np.asarray(flat_xla), rtol=5e-3, atol=5e-3
     )
     assert float(jnp.sum(jnp.abs(g_p3["rpe_table"]))) > 0.0
+
+
+def test_offset_head_shift_variant_matches_conv(monkeypatch):
+    """IR_ADS_DSCF_OFFSET=shift: the depthwise 9x9 strided conv as K^2
+    strided-slice FMAs — same params (tree-identical), f32 accumulation,
+    agrees with the nn.Conv path to bf16 tolerance."""
+    from ir_ads_tpu.models.backbones.swin import LayerNormGELUOffset
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 24, 32, 16).astype(np.float32))
+    m = LayerNormGELUOffset(16, 9, 8, dtype=jnp.bfloat16)
+    monkeypatch.setenv("IR_ADS_DSCF_OFFSET", "conv")
+    variables = m.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(m.apply(variables, x), np.float32)
+    monkeypatch.setenv("IR_ADS_DSCF_OFFSET", "shift")
+    v2 = m.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(variables) == (
+        jax.tree_util.tree_structure(v2)
+    )
+    got = np.asarray(m.apply(variables, x), np.float32)
+    np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
