@@ -93,12 +93,72 @@ def box_loss(
     return l1.sum() / num_boxes, giou.sum() / num_boxes
 
 
-def _sample_points_bilinear(masks: jax.Array, coords: jax.Array) -> jax.Array:
+def _sample_points_bilinear_xla(
+    masks: jax.Array, coords: jax.Array
+) -> jax.Array:
     """masks (N, H, W), coords (N, P, 2) in [0,1] (x, y) -> (N, P).
     Equivalent to detectron2 point_sample (grid_sample align_corners=False)."""
     grid = coords[:, :, None, :] * 2.0 - 1.0  # (N, P, 1, 2)
     out = grid_sample(masks[..., None], grid, align_corners=False)
     return out[:, :, 0, 0]
+
+
+@jax.custom_vjp
+def _sample_points_bilinear_patch(masks, coords):
+    """Same math as :func:`_sample_points_bilinear_xla` via ONE 2x2-patch
+    slice gather per point (all 4 bilinear corners in-row) — ~4x fewer
+    descriptors on the row-rate-bound TPU gather engine (dev/probe_msd2.py;
+    the round-5 DINO train profile showed the mask-loss corner gathers in
+    the 26 ms class per layer).  Backward recomputes through the
+    grid_sample form (per-corner gathers/scatters, which the relay
+    toolchain compiles; patch-slice scatters do not)."""
+    from ir_ads_tpu.detection.msdeform_attn import (
+        _gather_patch2x2, _patch_tables,
+    )
+
+    n, h, w = masks.shape
+    p = coords.shape[1]
+    gxy = jnp.stack(
+        [
+            coords[..., 0].astype(jnp.float32) * w - 0.5,
+            coords[..., 1].astype(jnp.float32) * h - 0.5,
+        ],
+        axis=-1,
+    )  # (N, P, 2) pixel coords, align_corners=False
+    ys, xs, cellw = _patch_tables(h, w, gxy, jnp.ones((n, p), jnp.float32))
+    patches = _gather_patch2x2(
+        masks[..., None].astype(jnp.float32), ys, xs
+    )  # (N, P, 2, 2, 1)
+    return jnp.einsum(
+        "npyxd,npyx->np", patches, cellw,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _spbp_fwd(masks, coords):
+    return _sample_points_bilinear_patch(masks, coords), (masks, coords)
+
+
+def _spbp_bwd(res, g):
+    masks, coords = res
+    _, vjp = jax.vjp(_sample_points_bilinear_xla, masks, coords)
+    return vjp(g)
+
+
+_sample_points_bilinear_patch.defvjp(_spbp_fwd, _spbp_bwd)
+
+
+def _sample_points_bilinear(masks: jax.Array, coords: jax.Array) -> jax.Array:
+    import os
+
+    impl = os.environ.get("IR_ADS_MASK_SAMPLE", "auto")
+    if impl == "auto":
+        impl = "patch" if jax.default_backend() == "tpu" else "xla"
+    if impl == "patch":
+        return _sample_points_bilinear_patch(
+            masks.astype(jnp.float32), coords
+        )
+    return _sample_points_bilinear_xla(masks, coords)
 
 
 def point_sampled_mask_loss(

@@ -72,7 +72,15 @@ def ms_deform_attn(
         # fails with xla4, compiles with xla).  The custom_vjp below keeps
         # the fast forward and recomputes the backward through the plain
         # per-element formulation (identical math -> identical grads).
-        bwd = os.environ.get("IR_ADS_MSDEFORM_BWD", "xla")
+        bwd = os.environ.get("IR_ADS_MSDEFORM_BWD", "level")
+        if bwd == "level":
+            # round-5 default: per-level backward — small levels
+            # differentiate through the one-hot dots natively (MXU both
+            # directions), big levels use the plain per-corner backward
+            return ms_deform_attn_xla5(
+                value, tuple(map(tuple, spatial_shapes)),
+                sampling_locations, attention_weights,
+            )
         if bwd == "xla":
             return _ms_deform_attn_xla4_xlabwd(
                 tuple(map(tuple, spatial_shapes)),
@@ -347,6 +355,165 @@ def ms_deform_attn_xla4(
             )
         else:
             # corner tables for this level only (one-hot MXU routing)
+            gx = gxy[..., 0]
+            gy = gxy[..., 1]
+            x0 = jnp.floor(gx)
+            y0 = jnp.floor(gy)
+            fx = (gx - x0)[..., None]
+            fy = (gy - y0)[..., None]
+            x0i = x0.astype(jnp.int32)[..., None]
+            y0i = y0.astype(jnp.int32)[..., None]
+            dxy = jnp.array([[0, 0], [0, 1], [1, 0], [1, 1]], jnp.int32)
+            xi = x0i + dxy[None, None, None, :, 1]
+            yi = y0i + dxy[None, None, None, :, 0]
+            valid = (xi >= 0) & (xi < ww) & (yi >= 0) & (yi < hh)
+            cw = jnp.where(
+                dxy[None, None, None, :, 1] == 0, 1.0 - fx, fx
+            ) * jnp.where(dxy[None, None, None, :, 0] == 0, 1.0 - fy, fy)
+            wgt = jnp.where(valid, cw, 0.0) * att[:, :, lvl][..., None]
+            idx = jnp.clip(yi, 0, hh - 1) * ww + jnp.clip(xi, 0, ww - 1)
+            nc = n_points * 4
+            gl = _gather_onehot(
+                vl, idx.reshape(b * n_heads, lq * nc)
+            ).reshape(b * n_heads, lq, nc, head_dim)
+            out += jnp.einsum(
+                "blnd,bln->bld",
+                gl,
+                wgt.reshape(b * n_heads, lq, nc).astype(gl.dtype),
+                preferred_element_type=jnp.float32,
+            )
+        start += hh * ww
+    out = out.astype(value.dtype)
+    out = out.reshape(b, n_heads, lq, head_dim).transpose(0, 2, 1, 3)
+    return out.reshape(b, lq, n_heads * head_dim)
+
+
+def _plain_level_contrib(vl, hh, ww, loc_l, att_l):
+    """Plain per-corner-take bilinear contribution of ONE level
+    (differentiable: its backward lowers to per-element gathers +
+    scatter-adds, which the relay toolchain compiles).
+
+    vl (G, HW, D); loc_l (G, Lq, P, 2) in [0,1] (x, y); att_l (G, Lq, P)
+    f32 -> (G, Lq, D) f32.  Exactly the math of the xla4 patch branch
+    (grid_sample align_corners=False with zero padding x attention)."""
+    g_, hw, d = vl.shape
+    gx = loc_l[..., 0].astype(jnp.float32) * ww - 0.5
+    gy = loc_l[..., 1].astype(jnp.float32) * hh - 0.5
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    fx = gx - x0
+    fy = gy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    out = jnp.zeros((g_, loc_l.shape[1], d), jnp.float32)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xi = x0i + dx
+            yi = y0i + dy
+            valid = (xi >= 0) & (xi < ww) & (yi >= 0) & (yi < hh)
+            wgt = jnp.where(
+                valid,
+                (fx if dx else 1.0 - fx) * (fy if dy else 1.0 - fy),
+                0.0,
+            ) * att_l  # (G, Lq, P)
+            idx = jnp.clip(yi, 0, hh - 1) * ww + jnp.clip(xi, 0, ww - 1)
+            rows = jnp.take_along_axis(
+                vl, idx.reshape(g_, -1)[..., None], axis=1
+            ).reshape(g_, *idx.shape[1:], d)
+            out = out + jnp.einsum(
+                "blpd,blp->bld", rows.astype(jnp.float32), wgt,
+                preferred_element_type=jnp.float32,
+            )
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _patch_level_contrib(hh, ww, vl4, loc_l, att_l):
+    """One big level's contribution: 2x2-patch slice gather forward (the
+    xla4 form) with the plain per-corner backward (the patch gather's
+    native transpose is a 2x2-slice scatter-add that crashes the relay's
+    compile helper)."""
+    g_, lq, p = att_l.shape
+    gxy = jnp.stack(
+        [
+            loc_l[..., 0].astype(jnp.float32) * ww - 0.5,
+            loc_l[..., 1].astype(jnp.float32) * hh - 0.5,
+        ],
+        axis=-1,
+    )
+    ys, xs, cellw = _patch_tables(hh, ww, gxy, att_l)
+    patches = _gather_patch2x2(
+        vl4, ys.reshape(g_, lq * p), xs.reshape(g_, lq * p)
+    ).reshape(g_, lq, p, 2, 2, vl4.shape[-1])
+    return jnp.einsum(
+        "blpyxd,blpyx->bld", patches.astype(jnp.float32), cellw,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _plc_fwd(hh, ww, vl4, loc_l, att_l):
+    return _patch_level_contrib(hh, ww, vl4, loc_l, att_l), (
+        vl4, loc_l, att_l,
+    )
+
+
+def _plc_bwd(hh, ww, res, g):
+    vl4, loc_l, att_l = res
+    g_, _, _, d = vl4.shape
+
+    def plain(v4, l, a):
+        return _plain_level_contrib(
+            v4.reshape(g_, hh * ww, d), hh, ww, l, a
+        )
+
+    _, vjp = jax.vjp(plain, vl4, loc_l, att_l)
+    return vjp(g)
+
+
+_patch_level_contrib.defvjp(_plc_fwd, _plc_bwd)
+
+
+def ms_deform_attn_xla5(
+    value: jax.Array,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+    onehot_max_hw: int = 1024,
+) -> jax.Array:
+    """xla4 forward with a PER-LEVEL backward (round-5): small levels keep
+    the fused one-hot MXU dots and differentiate NATIVELY (their backward
+    is the transposed one-hot dot — MXU routing, no scatters at all); only
+    the big levels fall back to the plain per-corner backward.  The
+    blanket plain-form backward (_ms_deform_attn_xla4_xlabwd) recomputed
+    4 corner takes x 4 levels per layer and scattered at every level —
+    the r5a profile charged ~90 ms/enc-layer to that machinery."""
+    b, s, n_heads, head_dim = value.shape
+    _, lq, _, n_levels, n_points, _ = sampling_locations.shape
+    loc = sampling_locations.transpose(0, 2, 1, 3, 4, 5).reshape(
+        b * n_heads, lq, n_levels, n_points, 2
+    )
+    att = attention_weights.transpose(0, 2, 1, 3, 4).reshape(
+        b * n_heads, lq, n_levels, n_points
+    ).astype(jnp.float32)
+    vt = value.transpose(0, 2, 1, 3).reshape(b * n_heads, s, head_dim)
+
+    out = jnp.zeros((b * n_heads, lq, head_dim), jnp.float32)
+    start = 0
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        vl = vt[:, start : start + hh * ww]
+        if hh * ww > onehot_max_hw and hh >= 2 and ww >= 2:
+            out += _patch_level_contrib(
+                hh, ww, vl.reshape(-1, hh, ww, head_dim),
+                loc[:, :, lvl], att[:, :, lvl],
+            )
+        else:
+            gxy = jnp.stack(
+                [
+                    loc[:, :, lvl, :, 0].astype(jnp.float32) * ww - 0.5,
+                    loc[:, :, lvl, :, 1].astype(jnp.float32) * hh - 0.5,
+                ],
+                axis=-1,
+            )
             gx = gxy[..., 0]
             gy = gxy[..., 1]
             x0 = jnp.floor(gx)

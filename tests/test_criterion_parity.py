@@ -229,3 +229,33 @@ def test_criterion_descent_recovers_targets():
     np.testing.assert_allclose(
         np.asarray(pred_box), [0.3, 0.3, 0.2, 0.2], atol=0.05
     )
+
+
+def test_mask_point_sampling_patch_matches_xla():
+    """IR_ADS_MASK_SAMPLE=patch (round-5): one 2x2-patch gather row per
+    point equals the grid_sample corner-takes form incl. borders + grads."""
+    import jax
+
+    from ir_ads_tpu.detection.criterion import (
+        _sample_points_bilinear_patch,
+        _sample_points_bilinear_xla,
+    )
+
+    rng = np.random.RandomState(0)
+    m = jnp.asarray(rng.randn(5, 9, 13).astype(np.float32))
+    c = jnp.asarray(rng.rand(5, 300, 2).astype(np.float32))
+    c = c.at[:, :4].set(
+        jnp.asarray([[0, 0], [1, 1], [0, 1], [1, 0]], jnp.float32)
+    )
+    a = np.asarray(_sample_points_bilinear_xla(m, c))
+    b = np.asarray(_sample_points_bilinear_patch(m, c))
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+    ga = jax.grad(
+        lambda m: jnp.sum(jnp.sin(_sample_points_bilinear_xla(m, c)))
+    )(m)
+    gb = jax.grad(
+        lambda m: jnp.sum(jnp.sin(_sample_points_bilinear_patch(m, c)))
+    )(m)
+    np.testing.assert_allclose(
+        np.asarray(ga), np.asarray(gb), atol=1e-5, rtol=1e-5
+    )

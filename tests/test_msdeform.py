@@ -255,3 +255,51 @@ def test_xla4_xlabwd_dispatch_grads_match_torch(monkeypatch):
     np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(), atol=1e-4)
     np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), atol=1e-3)
     np.testing.assert_allclose(np.asarray(gw), tw.grad.numpy(), atol=1e-4)
+
+
+def test_ms_deform_attn_xla5_matches_xla_incl_grads():
+    """xla5 (round-5 per-level backward: native one-hot AD at small
+    levels, plain per-corner bwd at big levels) == the reference plain
+    form, forward and all three gradients."""
+    from ir_ads_tpu.detection.msdeform_attn import (
+        ms_deform_attn_xla,
+        ms_deform_attn_xla5,
+    )
+
+    rng = np.random.RandomState(0)
+    shapes = ((37, 53), (19, 27), (10, 14), (5, 7))
+    s = sum(h * w for h, w in shapes)
+    b, heads, d, lq, p = 2, 4, 8, 60, 4
+    v = jnp.asarray(rng.randn(b, s, heads, d).astype(np.float32))
+    loc = jnp.asarray(rng.rand(b, lq, heads, 4, p, 2).astype(np.float32))
+    att = jax.nn.softmax(
+        jnp.asarray(
+            rng.randn(b, lq, heads, 4, p).astype(np.float32)
+        ).reshape(b, lq, heads, -1),
+        -1,
+    ).reshape(b, lq, heads, 4, p)
+
+    want = np.asarray(ms_deform_attn_xla(v, shapes, loc, att))
+    got = np.asarray(
+        ms_deform_attn_xla5(v, shapes, loc, att, onehot_max_hw=600)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    def loss(fn, *a):
+        return jnp.sum(jnp.sin(fn(*a)))
+
+    g5 = jax.grad(
+        lambda v, l, w: loss(
+            lambda *a: ms_deform_attn_xla5(*a, onehot_max_hw=600),
+            v, shapes, l, w,
+        ),
+        argnums=(0, 1, 2),
+    )(v, loc, att)
+    gx = jax.grad(
+        lambda v, l, w: loss(ms_deform_attn_xla, v, shapes, l, w),
+        argnums=(0, 1, 2),
+    )(v, loc, att)
+    for a, b_ in zip(g5, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-4, rtol=1e-4
+        )

@@ -244,6 +244,7 @@ def test_packed_heads_matches_per_head(heads, c, fusednorm, monkeypatch):
 
 
 @pytest.mark.parametrize("heads,c", [(4, 128), (16, 512)])
+@pytest.mark.slow  # opt-in wide layout (PACKED=2, measured a wash)
 def test_wide_packed_heads_matches_per_head(heads, c, monkeypatch):
     """IR_ADS_SWIN_PACKED=2: head-minor "wide" score layout (heads packed
     into the score LANES via block-diagonal K/V).  Not bitwise vs the
@@ -293,6 +294,7 @@ def test_wide_packed_no_shift(monkeypatch):
 
 
 @pytest.mark.parametrize("kind", ["1", "32"])
+@pytest.mark.slow  # opt-in IR_ADS_SWIN_MASK8 path (measured a wash)
 def test_mask8_precomputed_neq_bitwise(kind, monkeypatch):
     """IR_ADS_SWIN_MASK8: the prebuilt i8/i32 neq-mask operand must be
     BITWISE identical to the in-kernel region-id compare on v4, v5 and v6

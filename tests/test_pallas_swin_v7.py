@@ -54,6 +54,8 @@ def _run(attn, ffn, sub_mode="rgb", grad=False):
     return y, g
 
 
+@pytest.mark.slow  # ~13 s; the dual-stacked-adapters test keeps v7
+# covered in the fast tier
 def test_v7_bitwise_vs_v4_tail_composition(_env):
     y7, _ = _run("pallas7", "fused")
     y4, _ = _run("pallas4", "fused")
