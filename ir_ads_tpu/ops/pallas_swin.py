@@ -2138,14 +2138,19 @@ def _fused_block_fwd(
 
 def _fused_block_bwd(scale, heads, ws, h_real, w_real, shift, res, g):
     x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, region = res
-    _, vjp = jax.vjp(
-        lambda *a: _block_reference(
-            *a, region, scale, heads, ws,
-            h_real=h_real, w_real=w_real, shift=shift,
-        ),
-        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
-    )
-    grads = vjp(g)
+    if _attn_bwd_mode() == "pallas":
+        grads = _block_bwd_manual(
+            res, g, scale, heads, ws, h_real, w_real, shift
+        )
+    else:
+        _, vjp = jax.vjp(
+            lambda *a: _block_reference(
+                *a, region, scale, heads, ws,
+                h_real=h_real, w_real=w_real, shift=shift,
+            ),
+            x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+        )
+        grads = vjp(g)
     dregion = None if region is None else jnp.zeros_like(region)
     return (*grads, dregion)
 
@@ -2480,3 +2485,350 @@ def _fused_v7_bwd(scale, heads, ws, h_real, w_real, shift, res, g):
 
 
 fused_window_block_v7.defvjp(_fused_v7_fwd, _fused_v7_bwd)
+
+
+# --------------------------------------------------------------------------
+# round-5: Pallas attention BACKWARD kernel (VERDICT r5 item 4)
+#
+# Every fused-forward custom_vjp above re-derives its grads by jax.vjp of
+# the XLA reference twin, which materializes the (B*nW, heads, N, N) score
+# and softmax tensors in f32 HBM twice (forward-in-vjp + backward).  The
+# round-5 train-step profile (dev/logs/r5b.log) charged 90.6 ms of the
+# 275 ms bs4 480x640 profile-step to the stage-2 backward scans alone —
+# almost all of it those materializations plus the VPU softmax passes over
+# them.  This kernel recomputes the scores in VMEM (flash-attention style,
+# exact — windows are small enough that no online softmax is needed) and
+# emits, in one HBM pass over the windowed qkv:
+#   dqkv   (B*nW, N, 3C)  grads of the packed qkv projection output
+#   ow     (B*nW, N, C)   the (re)computed attention output — the out-proj
+#                         weight grad needs it, and it falls out of the PV
+#                         recompute for one extra MXU dot
+#   dbias  (heads, N, N)  f32 grad of the dense rel-pos bias, accumulated
+#                         across all grid steps (revisited output block)
+# The LN / qkv-projection / out-projection glue grads are plain MXU
+# matmuls with no N x N tensors, left to XLA in the manual bwd wrappers
+# below.  Math: d(softmax) vjp — dS = P * (dP - rowsum(dP * P)); the
+# MXU dots use the same tall head-packing as the forward (_heads_attention
+# docstring): p = 128/d heads per contraction via block-diagonal row
+# packing, so every dot contracts full 128 K lanes.
+# Reference semantics: semseg swin.py:81-125 (WindowMSA), differentiated.
+# --------------------------------------------------------------------------
+
+
+def _attn_bwd_kernel(
+    qkv_ref, do_ref, bias_ref, region_ref, dqkv_ref, ow_ref, dbias_ref,
+    *, scale, heads,
+):
+    """One chunk of G windows: recompute softmax in VMEM, emit grads.
+
+    qkv: (G, N, 3C) cdt; do: (G, N, C) cdt — the attention-output
+    cotangent, already window-partitioned; bias: (heads, N, N) f32;
+    region: (G, N) int32 (constant rows => no mask).  Outputs: dqkv
+    (G, N, 3C) cdt, ow (G, N, C) cdt, dbias (heads, N, N) f32 accumulated
+    across grid steps (same block every step)."""
+    qkv = qkv_ref[...]
+    do = do_ref[...]
+    g_, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // heads
+    cdt = qkv.dtype
+
+    region = region_ref[...]
+    neq = region[:, :, None] != region[:, None, :]  # (G, N, N)
+    maskf = jnp.where(neq, -1e9, 0.0).astype(jnp.float32)
+
+    p = 128 // max(d, 1) if d and 128 % d == 0 else 1
+    while p > 1 and heads % p:
+        p //= 2
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    if p > 1:
+        pd = p * d
+        pn = p * n
+        row_head = jax.lax.broadcasted_iota(jnp.int32, (pn, pd), 0) // n
+        col_head = jax.lax.broadcasted_iota(jnp.int32, (pn, pd), 1) // d
+        sel_f = (row_head == col_head).astype(cdt)  # (pN, pd) block-diag
+        sel3 = (
+            jax.lax.broadcasted_iota(jnp.int32, (p, 1, pd), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (p, 1, pd), 2) // d
+        ).astype(jnp.float32)  # (p, 1, pd) diagonal-block extractor
+        mask_t = jnp.concatenate([maskf] * p, axis=1)  # (G, pN, N)
+        batch = (((0,), (0,)),)
+
+        for h0 in range(0, heads, p):
+            lo = h0 * d
+            qg = qkv[:, :, lo : lo + pd]
+            kg = qkv[:, :, c + lo : c + lo + pd]
+            vg = qkv[:, :, 2 * c + lo : 2 * c + lo + pd]
+            dog = do[:, :, lo : lo + pd]
+            # block-diagonal row packing (exact zeros off-block)
+            q_bd = jnp.concatenate([qg] * p, axis=1) * sel_f[None]
+            do_bd = jnp.concatenate([dog] * p, axis=1) * sel_f[None]
+            # scores + softmax recompute, f32 in VMEM
+            s = jax.lax.dot_general(
+                q_bd, kg, (((2,), (2,)), *batch),
+                preferred_element_type=jnp.float32,
+            ) * scale  # (G, pN, N)
+            bias_grp = bias_ref[h0 : h0 + p].reshape(pn, n)
+            s = s + bias_grp[None] + mask_t
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            pr = e / jnp.sum(e, axis=-1, keepdims=True)  # (G, pN, N) f32
+            pc = pr.astype(cdt)
+            # forward output (for the out-proj weight grad outside)
+            o_full = jax.lax.dot_general(
+                pc, vg, (((2,), (1,)), *batch),
+                preferred_element_type=jnp.float32,
+            )  # (G, pN, pd)
+            o_sel = jnp.sum(
+                o_full.reshape(g_, p, n, pd) * sel3[None], axis=1
+            )  # (G, N, pd)
+            ow_ref[:, :, lo : lo + pd] = o_sel.astype(cdt)
+            # softmax vjp
+            dp = jax.lax.dot_general(
+                do_bd, vg, (((2,), (2,)), *batch),
+                preferred_element_type=jnp.float32,
+            )  # (G, pN, N)
+            dv = jax.lax.dot_general(
+                pc, do_bd, (((1,), (1,)), *batch),
+                preferred_element_type=jnp.float32,
+            )  # (G, N, pd) — column slice h = P_h^T dO_h
+            ds = pr * (dp - jnp.sum(dp * pr, axis=-1, keepdims=True))
+            # bias grad: sum over windows; (G, pN, N) -> (p, N, N)
+            db = jnp.sum(ds.reshape(g_, p, n, n), axis=0)
+            dbias_ref[h0 : h0 + p] = dbias_ref[h0 : h0 + p] + db
+            ds_c = (ds * scale).astype(cdt)
+            dq_full = jax.lax.dot_general(
+                ds_c, kg, (((2,), (1,)), *batch),
+                preferred_element_type=jnp.float32,
+            )  # (G, pN, pd)
+            dq = jnp.sum(
+                dq_full.reshape(g_, p, n, pd) * sel3[None], axis=1
+            )
+            dk = jax.lax.dot_general(
+                ds_c, q_bd, (((1,), (1,)), *batch),
+                preferred_element_type=jnp.float32,
+            )  # (G, N, pd) — column slice h = dS_h^T Q_h
+            dqkv_ref[:, :, lo : lo + pd] = dq.astype(cdt)
+            dqkv_ref[:, :, c + lo : c + lo + pd] = dk.astype(cdt)
+            dqkv_ref[:, :, 2 * c + lo : 2 * c + lo + pd] = dv.astype(cdt)
+    else:
+        batch = (((0,), (0,)),)
+        for h in range(heads):
+            lo = h * d
+            qg = qkv[:, :, lo : lo + d]
+            kg = qkv[:, :, c + lo : c + lo + d]
+            vg = qkv[:, :, 2 * c + lo : 2 * c + lo + d]
+            dog = do[:, :, lo : lo + d]
+            s = jax.lax.dot_general(
+                qg, kg, (((2,), (2,)), *batch),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = s + bias_ref[h][None] + maskf
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            pr = e / jnp.sum(e, axis=-1, keepdims=True)
+            pc = pr.astype(cdt)
+            ow_ref[:, :, lo : lo + d] = jax.lax.dot_general(
+                pc, vg, (((2,), (1,)), *batch),
+                preferred_element_type=jnp.float32,
+            ).astype(cdt)
+            dp = jax.lax.dot_general(
+                dog, vg, (((2,), (2,)), *batch),
+                preferred_element_type=jnp.float32,
+            )
+            dv = jax.lax.dot_general(
+                pc, dog, (((1,), (1,)), *batch),
+                preferred_element_type=jnp.float32,
+            )
+            ds = pr * (dp - jnp.sum(dp * pr, axis=-1, keepdims=True))
+            dbias_ref[h] = dbias_ref[h] + jnp.sum(ds, axis=0)
+            ds_c = (ds * scale).astype(cdt)
+            dqkv_ref[:, :, lo : lo + d] = jax.lax.dot_general(
+                ds_c, kg, (((2,), (1,)), *batch),
+                preferred_element_type=jnp.float32,
+            ).astype(cdt)
+            dqkv_ref[:, :, c + lo : c + lo + d] = jax.lax.dot_general(
+                ds_c, qg, (((1,), (1,)), *batch),
+                preferred_element_type=jnp.float32,
+            ).astype(cdt)
+            dqkv_ref[:, :, 2 * c + lo : 2 * c + lo + d] = dv.astype(cdt)
+
+
+def pallas_window_attention_bwd(
+    qkvw: jax.Array,          # (B*nW, N, 3C) windowed qkv (recomputed)
+    dow: jax.Array,           # (B*nW, N, C) attention-output cotangent
+    bias: jax.Array,          # (heads, N, N)
+    region: Optional[jax.Array],  # (nW, N) int32 or None
+    scale: float,
+    heads: int,
+    window_chunk: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Returns (dqkv (B*nW,N,3C), ow (B*nW,N,C), dbias (heads,N,N) f32)."""
+    import os
+
+    interpret = interpret or os.environ.get("IR_ADS_PALLAS_INTERPRET") == "1"
+    bn, n, c3 = qkvw.shape
+    c = c3 // 3
+    if window_chunk:
+        g = window_chunk
+    elif c <= 128:
+        g = 32
+    elif c <= 256:
+        g = 16
+    else:
+        g = 8
+    g = min(g, _round_up(bn, 8))
+    bn_pad = _round_up(bn, g)
+    qkv_p = jnp.pad(qkvw, ((0, bn_pad - bn), (0, 0), (0, 0)))
+    do_p = jnp.pad(dow, ((0, bn_pad - bn), (0, 0), (0, 0)))
+    if region is None:
+        region_full = jnp.zeros((bn_pad, n), jnp.int32)
+    else:
+        nw = region.shape[0]
+        region_full = jnp.tile(region, (bn // nw, 1))
+        region_full = jnp.pad(
+            region_full, ((0, bn_pad - bn), (0, 0)), constant_values=-1
+        )
+    dqkv, ow, dbias = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale, heads=heads),
+        out_shape=[
+            jax.ShapeDtypeStruct((bn_pad, n, c3), qkvw.dtype),
+            jax.ShapeDtypeStruct((bn_pad, n, c), qkvw.dtype),
+            jax.ShapeDtypeStruct((heads, n, n), jnp.float32),
+        ],
+        grid=(bn_pad // g,),
+        in_specs=[
+            pl.BlockSpec((g, n, c3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, n, n), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, n, c3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, n, n), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(qkv_p, do_p, bias.astype(jnp.float32), region_full)
+    return dqkv[:bn], ow[:bn], dbias
+
+
+def _attn_bwd_mode() -> str:
+    import os
+
+    mode = os.environ.get("IR_ADS_ATTN_BWD", "auto")
+    if mode in ("xla", "pallas"):
+        return mode
+    if os.environ.get("IR_ADS_PALLAS_INTERPRET") == "1":
+        return "pallas"
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def _block_bwd_manual(res, g, scale, heads, ws, h_real, w_real, shift,
+                      eps=1e-5):
+    """Hand-written vjp of _block_reference using the Pallas bwd kernel.
+
+    All recomputes here are MXU matmuls / VPU LN passes on (tokens, C)
+    tensors — the only N x N work happens inside _attn_bwd_kernel's VMEM.
+    Mirrors _block_reference's composition exactly (LN1 -> pad-zero ->
+    qkv -> windowed attention -> out proj -> residual); grads agree with
+    jax.vjp of the reference to compute-dtype tolerance
+    (tests/test_pallas_swin_bwd.py)."""
+    from ir_ads_tpu.ops.window_attention import (
+        window_partition,
+        window_reverse,
+    )
+
+    x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, region = res
+    cdt = x.dtype
+    b, hp, wpx, c = x.shape
+    h_real = hp if h_real is None else h_real
+    w_real = wpx if w_real is None else w_real
+    n = ws * ws
+
+    # ---- recompute LN1 / pad mask / qkv (no N x N tensors) ----
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = xc * inv
+    xn = xhat * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    padm = None
+    if h_real != hp or w_real != wpx:
+        row = jnp.arange(hp)[:, None]
+        col = jnp.arange(wpx)[None, :]
+        padm = (
+            ((row + shift) % hp >= h_real) | ((col + shift) % wpx >= w_real)
+        )[None, :, :, None]
+        xn = jnp.where(padm, 0.0, xn)
+    xn = xn.astype(cdt)
+    qkv = (
+        jnp.dot(xn, wqkv.astype(cdt), preferred_element_type=jnp.float32)
+        + bqkv.astype(jnp.float32)
+    ).astype(cdt)
+    qkvw = window_partition(qkv, ws)  # (B*nW, N, 3C)
+
+    # ---- out-projection + residual grads ----
+    gf = g.astype(jnp.float32)
+    gc = g.astype(cdt)
+    dbproj = jnp.sum(gf, axis=(0, 1, 2)).astype(bproj.dtype)
+    datt = jax.lax.dot_general(
+        gc, wproj.astype(cdt), (((3,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(cdt)  # (B, Hp, Wp, C) = g @ Wp^T
+    dow = window_partition(datt, ws)
+
+    # ---- attention backward (Pallas kernel) ----
+    dqkvw, oww, dbias = pallas_window_attention_bwd(
+        qkvw, dow, bias, region, scale, heads
+    )
+    att = window_reverse(oww, ws, hp, wpx)  # (B, Hp, Wp, C)
+    dwproj = jax.lax.dot_general(
+        att, gc, (((0, 1, 2), (0, 1, 2)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(wproj.dtype)
+
+    # ---- qkv-projection grads ----
+    dqkv_map = window_reverse(dqkvw, ws, hp, wpx)  # (B, Hp, Wp, 3C)
+    dbqkv = jnp.sum(
+        dqkv_map.astype(jnp.float32), axis=(0, 1, 2)
+    ).astype(bqkv.dtype)
+    dwqkv = jax.lax.dot_general(
+        xn, dqkv_map, (((0, 1, 2), (0, 1, 2)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(wqkv.dtype)
+    dxn = jax.lax.dot_general(
+        dqkv_map, wqkv.astype(cdt), (((3,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, Hp, Wp, C) f32
+    if padm is not None:
+        dxn = jnp.where(padm, 0.0, dxn)
+
+    # ---- LN1 backward ----
+    dln_scale = jnp.sum(dxn * xhat, axis=(0, 1, 2)).astype(ln_scale.dtype)
+    dln_bias = jnp.sum(dxn, axis=(0, 1, 2)).astype(ln_bias.dtype)
+    dxh = dxn * ln_scale.astype(jnp.float32)
+    m1 = jnp.mean(dxh, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxh * xhat, axis=-1, keepdims=True)
+    dx_ln = inv * (dxh - m1 - xhat * m2)
+    dx = (gf + dx_ln).astype(cdt)
+
+    dbias = dbias.astype(bias.dtype)
+    del n
+    return dx, dln_scale, dln_bias, dwqkv, dbqkv, dwproj, dbproj, dbias

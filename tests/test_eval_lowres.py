@@ -88,6 +88,7 @@ def test_msf_lowres_matches_fullres():
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow  # ~60 s: multitile variant; single-tile parity stays fast
 def test_sliding_lowres_matches_fullres_multitile():
     # tile < image: the low-res upsample must land at TILE resolution
     # before the overlap-add

@@ -5,6 +5,7 @@ the rebuild of reference tests/test_ms_deform_attn.py for TPU."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as TF
 
@@ -231,6 +232,7 @@ def test_msdeform_module_runs():
     assert bool(jnp.isfinite(out).all())
 
 
+@pytest.mark.slow  # ~18 s: dispatch-matrix variant; xla4 grads stay fast
 def test_xla4_xlabwd_dispatch_grads_match_torch(monkeypatch):
     """The train-path dispatch (IR_ADS_MSDEFORM=xla4 -> custom_vjp with
     the plain-gather backward) must produce the oracle gradients: the
@@ -257,6 +259,7 @@ def test_xla4_xlabwd_dispatch_grads_match_torch(monkeypatch):
     np.testing.assert_allclose(np.asarray(gw), tw.grad.numpy(), atol=1e-4)
 
 
+@pytest.mark.slow  # ~25 s: per-level-bwd variant sweep; xla4 grads stay fast
 def test_ms_deform_attn_xla5_matches_xla_incl_grads():
     """xla5 (round-5 per-level backward: native one-hot AD at small
     levels, plain per-corner bwd at big levels) == the reference plain

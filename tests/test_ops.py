@@ -78,6 +78,7 @@ def test_grid_sample_matmul_matches_torch():
         np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
 
 
+@pytest.mark.slow  # ~20 s CPU compile; fwd parity + module grads stay fast
 def test_grid_sample_grad_matches_torch():
     rng = np.random.RandomState(2)
     img = rng.randn(1, 5, 5, 2).astype(np.float32)
@@ -157,6 +158,7 @@ def test_patch_merging_matches_torch_unfold_order():
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
 
 
+@pytest.mark.slow  # ~18 s: layout-variant A/B; unfold-order parity stays fast
 def test_patch_merging_slice_path_matches_default(monkeypatch):
     """IR_ADS_MERGE=slice (transpose-free LN+reduction) == default path.
 

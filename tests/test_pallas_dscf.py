@@ -102,6 +102,7 @@ def test_module_pallas_path_matches_xla_path():
         pd.pallas_dscf_attention = orig
 
 
+@pytest.mark.slow  # ~18 s: two-kernel-path A/B; kernel parity + vjp stay fast
 def test_fused_builder_attention_matches_two_kernel_path():
     """dscf_attention_fused == rows builder + rows attention (same rounding:
     bias built with bf16 operands, rounded to the store dtype)."""

@@ -354,6 +354,7 @@ def test_mask8_precomputed_neq_bitwise(kind, monkeypatch):
     np.testing.assert_array_equal(np.asarray(g5), np.asarray(b5))
 
 
+@pytest.mark.slow  # ~17 s: typed-mask bitwise matrix; folded-mask parity stays fast
 def test_biasmask_typed_bitwise(monkeypatch):
     """IR_ADS_SWIN_BIASMASK=3 (round-5 window-TYPE decomposition): the
     per-row slab + shared column-mask adds produce BITWISE-identical
