@@ -66,7 +66,13 @@ variables = jax.jit(
 )()
 print(f"init {time.time() - t0:.1f}s", flush=True)
 
-tx = get_optimizer("adamw", lambda step: 6e-5, 0.01, "all")
+train_type = os.environ.get("IR_ADS_PROBE_TRAIN_TYPE", "all")
+if "Adapter" in train_type:
+    os.environ.setdefault("IR_ADS_ATTN_BWD_TRAINABLES", "adapter")
+tx = get_optimizer(
+    "adamw", lambda step: 6e-5, 0.01, train_type,
+    params=variables["params"],
+)
 state = TrainState.create(
     apply_fn=model.apply,
     params=variables["params"],

@@ -165,4 +165,54 @@ if WHICH in ("d", "all"):
             print(json.dumps({"probe": tag + "_ms", "error": str(e)[:200]}),
                   flush=True)
 
+if WHICH in ("e",):
+    # frozen-backbone (adapter-only) bwd kernel: no dbias / no ow
+    from ir_ads_tpu.ops.pallas_swin import (
+        pallas_window_attention_bwd, shift_region_ids,
+    )
+
+    rng = np.random.RandomState(3)
+    for tag, c, heads, nw_h, nw_w in (
+        ("bwd_frozen_stage2", 512, 16, 3, 4),
+        ("bwd_frozen_stage0", 128, 4, 10, 14),
+    ):
+        ws, b = 12, 8
+        n = ws * ws
+        bn = b * nw_h * nw_w
+        qkvw = jnp.asarray(
+            rng.randn(bn, n, 3 * c).astype(np.float32) * 0.05
+        ).astype(jnp.bfloat16)
+        dow = jnp.asarray(
+            rng.randn(bn, n, c).astype(np.float32) * 0.05
+        ).astype(jnp.bfloat16)
+        bias = jnp.asarray(
+            rng.randn(heads, n, n).astype(np.float32) * 0.05
+        )
+        region = jnp.asarray(
+            shift_region_ids(nw_h * ws, nw_w * ws, ws, ws // 2)
+        )
+        scale = (c // heads) ** -0.5
+        fn = jax.jit(
+            lambda q, d, bi, r: pallas_window_attention_bwd(
+                q, d, bi, r, scale, heads,
+                want_ow=False, want_dbias=False,
+            )[0]
+        )
+        timed(tag, lambda: fn(qkvw, dow, bias, region))
+        try:
+            import time as _t
+
+            jax.block_until_ready(fn(qkvw, dow, bias, region))
+            t0 = _t.time()
+            for _ in range(10):
+                out = fn(qkvw, dow, bias, region)
+            jax.block_until_ready(out)
+            print(json.dumps({
+                "probe": tag + "_ms",
+                "value": round((_t.time() - t0) / 10 * 1000, 2),
+            }), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"probe": tag + "_ms", "error": str(e)[:200]}),
+                  flush=True)
+
 print("R5KERNELS_DONE", flush=True)

@@ -710,6 +710,38 @@ class SwinBlockAdapter(nn.Module):
             )
             adapter_x = 0.5 * adapter(x, deterministic)  # scale (swin.py:577)
 
+        import os as _os
+
+        if (
+            not deterministic
+            and _os.environ.get("IR_ADS_TAIL_REMAT", "1") not in ("", "0")
+        ):
+            # round-5: recompute the FFN hidden in the backward instead of
+            # saving (tokens, 4C) per block — under the stage-2 scan the
+            # saved hiddens stack into (L, B, H, W, 4C) dynamic-update-slice
+            # writes (~6.6 ms of the r5b bs4 train profile) and ~340 MB of
+            # HBM.  Function-form remat keeps norm2/ffn at their existing
+            # param paths, so checkpoints are unchanged; the recompute is
+            # one LN + two matmuls per block backward.
+            def _tail_fn(mdl, xx, det, dpo):
+                hh = nn.LayerNorm(
+                    epsilon=1e-5, dtype=mdl.dtype, name="norm2"
+                )(xx)
+                return Mlp(
+                    hidden_dim=mdl.ffn_dim,
+                    drop_rate=mdl.drop_rate,
+                    drop_path_rate=mdl.drop_path_rate,
+                    add_identity=True,
+                    dtype=mdl.dtype,
+                    name="ffn",
+                )(hh, identity=xx, deterministic=det,
+                  drop_path_override=dpo)
+
+            h = nn.remat(_tail_fn, static_argnums=(2,))(
+                self, x, deterministic, drop_path_override
+            )
+            return h + adapter_x
+
         identity = x
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         h = Mlp(

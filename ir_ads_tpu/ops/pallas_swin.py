@@ -2516,16 +2516,24 @@ fused_window_block_v7.defvjp(_fused_v7_fwd, _fused_v7_bwd)
 
 
 def _attn_bwd_kernel(
-    qkv_ref, do_ref, bias_ref, region_ref, dqkv_ref, ow_ref, dbias_ref,
-    *, scale, heads,
+    qkv_ref, do_ref, bias_ref, region_ref, dqkv_ref, *rest,
+    scale, heads, want_ow=True, want_dbias=True,
 ):
     """One chunk of G windows: recompute softmax in VMEM, emit grads.
 
     qkv: (G, N, 3C) cdt; do: (G, N, C) cdt — the attention-output
     cotangent, already window-partitioned; bias: (heads, N, N) f32;
     region: (G, N) int32 (constant rows => no mask).  Outputs: dqkv
-    (G, N, 3C) cdt, ow (G, N, C) cdt, dbias (heads, N, N) f32 accumulated
-    across grid steps (same block every step)."""
+    (G, N, 3C) cdt, then (when requested) ow (G, N, C) cdt and dbias
+    (heads, N, N) f32 accumulated across grid steps (same block every
+    step).  want_ow/want_dbias=False skip those outputs AND their
+    compute — the adapter-only freeze recipe (reference optimizers.py:
+    7-31, the shipped configs) discards every attention-parameter grad
+    via optax.masked, so the out-proj-weight and bias grads are never
+    consumed (IR_ADS_ATTN_BWD_TRAINABLES=adapter)."""
+    rest = list(rest)
+    ow_ref = rest.pop(0) if want_ow else None
+    dbias_ref = rest.pop(0) if want_dbias else None
     qkv = qkv_ref[...]
     do = do_ref[...]
     g_, n, c3 = qkv.shape
@@ -2541,9 +2549,10 @@ def _attn_bwd_kernel(
     while p > 1 and heads % p:
         p //= 2
 
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+    if want_dbias:
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
     if p > 1:
         pd = p * d
@@ -2578,15 +2587,16 @@ def _attn_bwd_kernel(
             e = jnp.exp(s)
             pr = e / jnp.sum(e, axis=-1, keepdims=True)  # (G, pN, N) f32
             pc = pr.astype(cdt)
-            # forward output (for the out-proj weight grad outside)
-            o_full = jax.lax.dot_general(
-                pc, vg, (((2,), (1,)), *batch),
-                preferred_element_type=jnp.float32,
-            )  # (G, pN, pd)
-            o_sel = jnp.sum(
-                o_full.reshape(g_, p, n, pd) * sel3[None], axis=1
-            )  # (G, N, pd)
-            ow_ref[:, :, lo : lo + pd] = o_sel.astype(cdt)
+            if want_ow:
+                # forward output (for the out-proj weight grad outside)
+                o_full = jax.lax.dot_general(
+                    pc, vg, (((2,), (1,)), *batch),
+                    preferred_element_type=jnp.float32,
+                )  # (G, pN, pd)
+                o_sel = jnp.sum(
+                    o_full.reshape(g_, p, n, pd) * sel3[None], axis=1
+                )  # (G, N, pd)
+                ow_ref[:, :, lo : lo + pd] = o_sel.astype(cdt)
             # softmax vjp
             dp = jax.lax.dot_general(
                 do_bd, vg, (((2,), (2,)), *batch),
@@ -2597,9 +2607,10 @@ def _attn_bwd_kernel(
                 preferred_element_type=jnp.float32,
             )  # (G, N, pd) — column slice h = P_h^T dO_h
             ds = pr * (dp - jnp.sum(dp * pr, axis=-1, keepdims=True))
-            # bias grad: sum over windows; (G, pN, N) -> (p, N, N)
-            db = jnp.sum(ds.reshape(g_, p, n, n), axis=0)
-            dbias_ref[h0 : h0 + p] = dbias_ref[h0 : h0 + p] + db
+            if want_dbias:
+                # bias grad: sum over windows; (G, pN, N) -> (p, N, N)
+                db = jnp.sum(ds.reshape(g_, p, n, n), axis=0)
+                dbias_ref[h0 : h0 + p] = dbias_ref[h0 : h0 + p] + db
             ds_c = (ds * scale).astype(cdt)
             dq_full = jax.lax.dot_general(
                 ds_c, kg, (((2,), (1,)), *batch),
@@ -2632,10 +2643,11 @@ def _attn_bwd_kernel(
             e = jnp.exp(s)
             pr = e / jnp.sum(e, axis=-1, keepdims=True)
             pc = pr.astype(cdt)
-            ow_ref[:, :, lo : lo + d] = jax.lax.dot_general(
-                pc, vg, (((2,), (1,)), *batch),
-                preferred_element_type=jnp.float32,
-            ).astype(cdt)
+            if want_ow:
+                ow_ref[:, :, lo : lo + d] = jax.lax.dot_general(
+                    pc, vg, (((2,), (1,)), *batch),
+                    preferred_element_type=jnp.float32,
+                ).astype(cdt)
             dp = jax.lax.dot_general(
                 dog, vg, (((2,), (2,)), *batch),
                 preferred_element_type=jnp.float32,
@@ -2645,7 +2657,8 @@ def _attn_bwd_kernel(
                 preferred_element_type=jnp.float32,
             )
             ds = pr * (dp - jnp.sum(dp * pr, axis=-1, keepdims=True))
-            dbias_ref[h] = dbias_ref[h] + jnp.sum(ds, axis=0)
+            if want_dbias:
+                dbias_ref[h] = dbias_ref[h] + jnp.sum(ds, axis=0)
             ds_c = (ds * scale).astype(cdt)
             dqkv_ref[:, :, lo : lo + d] = jax.lax.dot_general(
                 ds_c, kg, (((2,), (1,)), *batch),
@@ -2667,8 +2680,12 @@ def pallas_window_attention_bwd(
     heads: int,
     window_chunk: Optional[int] = None,
     interpret: bool = False,
+    want_ow: bool = True,
+    want_dbias: bool = True,
 ):
-    """Returns (dqkv (B*nW,N,3C), ow (B*nW,N,C), dbias (heads,N,N) f32)."""
+    """Returns (dqkv (B*nW,N,3C), ow (B*nW,N,C) | None, dbias
+    (heads,N,N) f32 | None).  want_ow/want_dbias=False skip the output
+    AND its in-kernel compute (adapter-only freeze fast path)."""
     import os
 
     interpret = interpret or os.environ.get("IR_ADS_PALLAS_INTERPRET") == "1"
@@ -2694,13 +2711,31 @@ def pallas_window_attention_bwd(
         region_full = jnp.pad(
             region_full, ((0, bn_pad - bn), (0, 0)), constant_values=-1
         )
-    dqkv, ow, dbias = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale, heads=heads),
-        out_shape=[
-            jax.ShapeDtypeStruct((bn_pad, n, c3), qkvw.dtype),
-            jax.ShapeDtypeStruct((bn_pad, n, c), qkvw.dtype),
-            jax.ShapeDtypeStruct((heads, n, n), jnp.float32),
-        ],
+    out_shape = [jax.ShapeDtypeStruct((bn_pad, n, c3), qkvw.dtype)]
+    out_specs = [
+        pl.BlockSpec((g, n, c3), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if want_ow:
+        out_shape.append(jax.ShapeDtypeStruct((bn_pad, n, c), qkvw.dtype))
+        out_specs.append(
+            pl.BlockSpec((g, n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    if want_dbias:
+        out_shape.append(
+            jax.ShapeDtypeStruct((heads, n, n), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((heads, n, n), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    outs = pl.pallas_call(
+        functools.partial(
+            _attn_bwd_kernel, scale=scale, heads=heads,
+            want_ow=want_ow, want_dbias=want_dbias,
+        ),
+        out_shape=out_shape,
         grid=(bn_pad // g,),
         in_specs=[
             pl.BlockSpec((g, n, c3), lambda i: (i, 0, 0),
@@ -2712,20 +2747,17 @@ def pallas_window_attention_bwd(
             pl.BlockSpec((g, n), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((g, n, c3), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, n, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, n, n), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(qkv_p, do_p, bias.astype(jnp.float32), region_full)
-    return dqkv[:bn], ow[:bn], dbias
+    outs = list(outs)
+    dqkv = outs.pop(0)[:bn]
+    ow = outs.pop(0)[:bn] if want_ow else None
+    dbias = outs.pop(0) if want_dbias else None
+    return dqkv, ow, dbias
 
 
 def _attn_bwd_mode() -> str:
@@ -2737,6 +2769,20 @@ def _attn_bwd_mode() -> str:
     if os.environ.get("IR_ADS_PALLAS_INTERPRET") == "1":
         return "pallas"
     return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def _attn_bwd_trainables() -> str:
+    """'all' (default) or 'adapter': under the reference's adapter-only
+    freeze (TRAIN_TYPE: Adapter, optimizers.py:7-31 — every shipped
+    config) the attention parameters (LN1/qkv/proj/rel-pos table) receive
+    no update: optax.masked discards their grads.  'adapter' skips
+    computing them (zero cotangents) — the bwd kernel drops the dbias
+    accumulation and the ow recompute + out-proj weight-grad dot.  Set
+    automatically by train_mm when TRAIN_TYPE=Adapter; WRONG for
+    full-model fine-tuning, hence opt-in."""
+    import os
+
+    return os.environ.get("IR_ADS_ATTN_BWD_TRAINABLES", "all")
 
 
 def _block_bwd_manual(res, g, scale, heads, ws, h_real, w_real, shift,
@@ -2784,10 +2830,11 @@ def _block_bwd_manual(res, g, scale, heads, ws, h_real, w_real, shift,
     ).astype(cdt)
     qkvw = window_partition(qkv, ws)  # (B*nW, N, 3C)
 
+    frozen = _attn_bwd_trainables() == "adapter"
+
     # ---- out-projection + residual grads ----
     gf = g.astype(jnp.float32)
     gc = g.astype(cdt)
-    dbproj = jnp.sum(gf, axis=(0, 1, 2)).astype(bproj.dtype)
     datt = jax.lax.dot_general(
         gc, wproj.astype(cdt), (((3,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -2796,23 +2843,36 @@ def _block_bwd_manual(res, g, scale, heads, ws, h_real, w_real, shift,
 
     # ---- attention backward (Pallas kernel) ----
     dqkvw, oww, dbias = pallas_window_attention_bwd(
-        qkvw, dow, bias, region, scale, heads
+        qkvw, dow, bias, region, scale, heads,
+        want_ow=not frozen, want_dbias=not frozen,
     )
-    att = window_reverse(oww, ws, hp, wpx)  # (B, Hp, Wp, C)
-    dwproj = jax.lax.dot_general(
-        att, gc, (((0, 1, 2), (0, 1, 2)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(wproj.dtype)
+    if frozen:
+        dwproj = jnp.zeros_like(wproj)
+        dbproj = jnp.zeros_like(bproj)
+        dwqkv = jnp.zeros_like(wqkv)
+        dbqkv = jnp.zeros_like(bqkv)
+        dbias = jnp.zeros_like(bias)
+        dln_scale = jnp.zeros_like(ln_scale)
+        dln_bias = jnp.zeros_like(ln_bias)
+    else:
+        dbproj = jnp.sum(gf, axis=(0, 1, 2)).astype(bproj.dtype)
+        att = window_reverse(oww, ws, hp, wpx)  # (B, Hp, Wp, C)
+        dwproj = jax.lax.dot_general(
+            att, gc, (((0, 1, 2), (0, 1, 2)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(wproj.dtype)
+        dbias = dbias.astype(bias.dtype)
 
     # ---- qkv-projection grads ----
     dqkv_map = window_reverse(dqkvw, ws, hp, wpx)  # (B, Hp, Wp, 3C)
-    dbqkv = jnp.sum(
-        dqkv_map.astype(jnp.float32), axis=(0, 1, 2)
-    ).astype(bqkv.dtype)
-    dwqkv = jax.lax.dot_general(
-        xn, dqkv_map, (((0, 1, 2), (0, 1, 2)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(wqkv.dtype)
+    if not frozen:
+        dbqkv = jnp.sum(
+            dqkv_map.astype(jnp.float32), axis=(0, 1, 2)
+        ).astype(bqkv.dtype)
+        dwqkv = jax.lax.dot_general(
+            xn, dqkv_map, (((0, 1, 2), (0, 1, 2)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(wqkv.dtype)
     dxn = jax.lax.dot_general(
         dqkv_map, wqkv.astype(cdt), (((3,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -2821,14 +2881,16 @@ def _block_bwd_manual(res, g, scale, heads, ws, h_real, w_real, shift,
         dxn = jnp.where(padm, 0.0, dxn)
 
     # ---- LN1 backward ----
-    dln_scale = jnp.sum(dxn * xhat, axis=(0, 1, 2)).astype(ln_scale.dtype)
-    dln_bias = jnp.sum(dxn, axis=(0, 1, 2)).astype(ln_bias.dtype)
+    if not frozen:
+        dln_scale = jnp.sum(
+            dxn * xhat, axis=(0, 1, 2)
+        ).astype(ln_scale.dtype)
+        dln_bias = jnp.sum(dxn, axis=(0, 1, 2)).astype(ln_bias.dtype)
     dxh = dxn * ln_scale.astype(jnp.float32)
     m1 = jnp.mean(dxh, axis=-1, keepdims=True)
     m2 = jnp.mean(dxh * xhat, axis=-1, keepdims=True)
     dx_ln = inv * (dxh - m1 - xhat * m2)
     dx = (gf + dx_ln).astype(cdt)
 
-    dbias = dbias.astype(bias.dtype)
     del n
     return dx, dln_scale, dln_bias, dwqkv, dbqkv, dwproj, dbproj, dbias

@@ -190,3 +190,21 @@ def test_custom_vjp_dispatch_pallas(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), atol=5e-4, rtol=5e-4
         )
+
+
+def test_adapter_freeze_fast_path(monkeypatch):
+    """IR_ADS_ATTN_BWD_TRAINABLES=adapter: dx identical, frozen-param
+    cotangents zero (optax.masked discards them under the reference's
+    TRAIN_TYPE: Adapter recipe, optimizers.py:7-31)."""
+    monkeypatch.setenv("IR_ADS_ATTN_BWD_TRAINABLES", "adapter")
+    got, want = _grads_pair(
+        c=32, heads=2, ws=4, b=1, hp=8, wp=12, shift=2
+    )
+    # dx still exact
+    np.testing.assert_allclose(
+        np.asarray(got[0], np.float32), np.asarray(want[0], np.float32),
+        atol=5e-4, rtol=5e-4,
+    )
+    # every attention-parameter cotangent is exactly zero
+    for a in got[1:]:
+        assert float(jnp.max(jnp.abs(a))) == 0.0

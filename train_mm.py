@@ -71,11 +71,18 @@ def build_model_and_state(cfg, num_classes, rng_seed=3407, sample_hw=(64, 64)):
         warmup_iter=iters_per_epoch * sched_cfg.get("WARMUP", 10),
         warmup_ratio=sched_cfg.get("WARMUP_RATIO", 0.1),
     )
+    train_type = optim_cfg.get("TRAIN_TYPE", "all")
+    if "Adapter" in train_type:
+        # adapter-only freeze (reference optimizers.py:7-31): the attention
+        # parameter grads are discarded by optax.masked, so the Pallas
+        # backward may skip computing them (ops/pallas_swin.py
+        # _attn_bwd_trainables)
+        os.environ.setdefault("IR_ADS_ATTN_BWD_TRAINABLES", "adapter")
     tx = get_optimizer(
         optim_cfg["NAME"],
         schedule,
         optim_cfg.get("WEIGHT_DECAY", 0.01),
-        optim_cfg.get("TRAIN_TYPE", "all"),
+        train_type,
         params=variables["params"],
     )
     state = TrainState.create(
