@@ -215,4 +215,51 @@ if WHICH in ("e",):
             print(json.dumps({"probe": tag + "_ms", "error": str(e)[:200]}),
                   flush=True)
 
+if WHICH in ("f",):
+    # round-5 DSCF rows BACKWARD kernel at the bench level-0/1 geometry
+    from ir_ads_tpu.ops.pallas_dscf import pallas_dscf_rows_bwd
+
+    rng = np.random.RandomState(5)
+    for tag, bg, h, w, gc, hg, m in (
+        ("dscf_bwd_L0", 8, 120, 160, 16, 2, 304),
+        ("dscf_bwd_L1", 8, 60, 80, 32, 4, 304),
+    ):
+        mp = (m + 7) // 8 * 8
+        q = jnp.asarray(
+            rng.randn(bg, h * w, gc).astype(np.float32) * 0.1
+        ).astype(jnp.bfloat16)
+        k = jnp.asarray(
+            rng.randn(bg, mp, gc).astype(np.float32) * 0.1
+        ).astype(jnp.bfloat16)
+        v = jnp.asarray(
+            rng.randn(bg, mp, gc).astype(np.float32) * 0.1
+        ).astype(jnp.bfloat16)
+        bias = jnp.asarray(
+            rng.randn(bg, hg, h, m, w).astype(np.float32) * 0.1
+        ).astype(jnp.bfloat16)
+        g = jnp.asarray(
+            rng.randn(bg, h * w, gc).astype(np.float32) * 0.1
+        ).astype(jnp.bfloat16)
+        fn = jax.jit(
+            lambda a, b, c, d, e: pallas_dscf_rows_bwd(
+                a, b, c, d, e, 0.25, hg
+            )[0]
+        )
+        timed(tag, lambda: fn(q, k, v, bias, g))
+        try:
+            import time as _t
+
+            jax.block_until_ready(fn(q, k, v, bias, g))
+            t0 = _t.time()
+            for _ in range(10):
+                out = fn(q, k, v, bias, g)
+            jax.block_until_ready(out)
+            print(json.dumps({
+                "probe": tag + "_ms",
+                "value": round((_t.time() - t0) / 10 * 1000, 2),
+            }), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"probe": tag + "_ms", "error": str(e)[:200]}),
+                  flush=True)
+
 print("R5KERNELS_DONE", flush=True)

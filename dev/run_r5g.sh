@@ -13,6 +13,13 @@ note() { echo "=== $1 $(date +%H:%M:%S) ===" >> "$OUT"; }
 note "frozen bwd kernel timing"
 timeout 2400 python dev/probe_r5_kernels.py e >> "$OUT" 2>&1
 
+note "dscf bwd kernel timing"
+timeout 2400 python dev/probe_r5_kernels.py f >> "$OUT" 2>&1
+
+note "train step: all-params, pallas attn+dscf bwd + rpb vjp (delta vs 191.2)"
+IR_ADS_ATTN_BWD=pallas timeout 4200 python dev/probe_profile_train.py \
+  /tmp/tt_pallas2 >> "$OUT" 2>&1
+
 note "train step: adapter-only recipe, pallas bwd + tail remat"
 IR_ADS_PROBE_TRAIN_TYPE=Adapter IR_ADS_ATTN_BWD=pallas \
   timeout 4200 python dev/probe_profile_train.py /tmp/tt_adapter \

@@ -399,6 +399,16 @@ def _rows_fwd(q, k, v, bias, scale, hg, packed=None):
 
 def _rows_bwd(scale, hg, packed, res, g):
     q, k, v, bias = res
+    if _dscf_bwd_mode() == "pallas":
+        dq, dk, dv, dbias = pallas_dscf_rows_bwd(
+            q, k, v, bias, g, scale, hg
+        )
+        return (
+            dq,
+            dk.astype(k.dtype),
+            dv.astype(v.dtype),
+            dbias.astype(bias.dtype),
+        )
     _, vjp = jax.vjp(
         lambda a, b, c, d: dscf_rows_reference(a, b, c, d, scale, hg),
         q, k, v, bias,
@@ -648,3 +658,209 @@ def _dscf_fused_bwd(h, w, scale, hg, store_dtype, res, g):
 
 
 dscf_attention_fused.defvjp(_dscf_fused_fwd, _dscf_fused_bwd)
+
+
+# --------------------------------------------------------------------------
+# round-5: DSCF rows-attention BACKWARD kernel
+#
+# The custom_vjp backward above re-derives grads by jax.vjp of
+# dscf_rows_reference, whose first act is a (BG, hg, h, M, w) -> packed
+# f32 transpose of the bias — the r5f train profile shows that class
+# (copy.10351/10352, convert_bitcast_fusion.8, fusion.1075/8545) costing
+# ~8 ms of the 191 ms bs4 step, on top of the HBM-materialized score/
+# softmax tensors.  This kernel recomputes the key-major scores in VMEM
+# per row tile (same layout as the forward rows kernel, so the rpe bias
+# adds with no transpose), and emits dq / dk / dv / dbias in the SAME
+# layouts the forward consumed — dbias leaves in rows layout, feeding the
+# rpe builder's backward directly, zero relayouts end to end.
+# Math: d(softmax) vjp over the key (sublane) axis; same (row, head) slot
+# packing as _dscf_rows_kernel_packed (full-128-lane contractions).
+# --------------------------------------------------------------------------
+
+
+def _dscf_rows_bwd_kernel(
+    q_ref, k_ref, v_ref, bias_ref, do_ref,
+    dq_ref, dk_ref, dv_ref, dbias_ref, *, scale, hg, tile_r, w, m,
+):
+    """Grid: (BG, h // tile_r).  Blocks mirror the forward kernel plus:
+    do_ref (1, tile_r*w, GC) — output cotangent; dq_ref like q;
+    dk_ref/dv_ref (1, Mp, GC) f32 accumulated across row tiles (constant
+    block per bg); dbias_ref (1, hg, tile_r, m, w) f32."""
+    k = k_ref[0]  # (Mp, GC)
+    v = v_ref[0]
+    mp = k.shape[0]
+    gc = k.shape[-1]
+    hc = gc // hg
+    cdt = k.dtype
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    pr = max(1, min(tile_r, 128 // gc if gc <= 128 else 1))
+    for r0 in range(0, tile_r, pr):
+        prg = min(pr, tile_r - r0)
+        p = prg * hg
+        kc = jnp.tile(k, (1, prg))  # (Mp, p*hc)
+        vc = jnp.tile(v, (1, prg))
+        q_pieces = []
+        do_pieces = []
+        bias_cols = []
+        for j in range(p):
+            rr, e = r0 + j // hg, j % hg
+            qe = q_ref[0, rr * w : (rr + 1) * w, e * hc : (e + 1) * hc]
+            doe = do_ref[0, rr * w : (rr + 1) * w, e * hc : (e + 1) * hc]
+            zl = jnp.zeros((w, j * hc), cdt)
+            zr = jnp.zeros((w, (p - 1 - j) * hc), cdt)
+
+            def bd(t, zl=zl, zr=zr, p=p):
+                return t if p == 1 else jnp.concatenate(
+                    [a for a in (zl, t, zr) if a.shape[1]], axis=1
+                )
+
+            q_pieces.append(bd(qe))
+            do_pieces.append(bd(doe))
+            bias_cols.append(bias_ref[0, e, rr].astype(jnp.float32))
+        q_bd = q_pieces[0] if p == 1 else jnp.concatenate(q_pieces, axis=0)
+        do_bd = (
+            do_pieces[0] if p == 1 else jnp.concatenate(do_pieces, axis=0)
+        )  # (p*w, p*hc)
+        bias_tall = (
+            bias_cols[0] if p == 1 else jnp.concatenate(bias_cols, axis=1)
+        )  # (M, p*w)
+        sT = jax.lax.dot_general(
+            kc, q_bd,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Mp, p*w) f32, key-major
+        s = sT[:m] * scale + bias_tall
+        if mp != m:
+            s = jnp.concatenate(
+                [s, jnp.full((mp - m, p * w), NEG_INF, jnp.float32)], axis=0
+            )
+        mx = jnp.max(s, axis=0, keepdims=True)
+        ex = jnp.exp(s - mx)
+        den = jnp.sum(ex, axis=0, keepdims=True)
+        prb = ex / den  # (Mp, p*w) f32
+        pc = prb.astype(cdt)
+        # dV: contract the p*w slot rows — lane block j = P_j @ dO_j
+        dv_full = jax.lax.dot_general(
+            pc, do_bd,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Mp, p*hc)
+        dv_ref[0] = dv_ref[0] + jnp.sum(
+            dv_full.reshape(mp, prg, gc), axis=1
+        )
+        # dP: lane contraction against tiled V — column block j = V_e dO_j^T
+        dp = jax.lax.dot_general(
+            vc, do_bd,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Mp, p*w)
+        ds = prb * (dp - jnp.sum(dp * prb, axis=0, keepdims=True))
+        # dbias in rows layout, no transpose
+        for j in range(p):
+            rr, e = r0 + j // hg, j % hg
+            dbias_ref[0, e, rr] = ds[:m, j * w : (j + 1) * w]
+        ds_c = (ds * scale).astype(cdt)
+        # dQ: contract keys; diagonal (slot, slot) blocks -> (w, gc)/row
+        dq_full = jax.lax.dot_general(
+            ds_c, kc,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (p*w, p*hc)
+        if p == 1:
+            red = dq_full
+        else:
+            osel = (
+                jax.lax.broadcasted_iota(jnp.int32, (p, 1, p * hc), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (p, 1, p * hc), 2)
+                // hc
+            ).astype(jnp.float32)
+            red = jnp.sum(dq_full.reshape(p, w, p * hc) * osel, axis=0)
+        for rr in range(r0, r0 + prg):
+            dq_ref[0, rr * w : (rr + 1) * w, :] = red[
+                :, (rr - r0) * gc : (rr - r0 + 1) * gc
+            ].astype(dq_ref.dtype)
+        # dK: contract slot rows — lane block j = dS_j @ Q_j
+        dk_full = jax.lax.dot_general(
+            ds_c, q_bd,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Mp, p*hc)
+        dk_ref[0] = dk_ref[0] + jnp.sum(
+            dk_full.reshape(mp, prg, gc), axis=1
+        )
+
+
+def pallas_dscf_rows_bwd(
+    q: jax.Array,      # (BG, h*w, GC)
+    k: jax.Array,      # (BG, Mp, GC)
+    v: jax.Array,      # (BG, Mp, GC)
+    bias: jax.Array,   # (BG, hg, h, M, w)
+    dout: jax.Array,   # (BG, h*w, GC)
+    scale: float,
+    hg: int,
+    interpret: bool = False,
+):
+    """Returns (dq cdt, dk f32, dv f32, dbias f32) in the forward's own
+    layouts."""
+    bg, hw, gc = q.shape
+    mp = k.shape[1]
+    _, _, h, m, w = bias.shape
+    tile_r = _pick_tile_r(h, w)
+    dq, dk, dv, dbias = pl.pallas_call(
+        functools.partial(
+            _dscf_rows_bwd_kernel, scale=scale, hg=hg, tile_r=tile_r,
+            w=w, m=m,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bg, hw, gc), q.dtype),
+            jax.ShapeDtypeStruct((bg, mp, gc), jnp.float32),
+            jax.ShapeDtypeStruct((bg, mp, gc), jnp.float32),
+            jax.ShapeDtypeStruct((bg, hg, h, m, w), jnp.float32),
+        ],
+        grid=(bg, h // tile_r),
+        in_specs=[
+            pl.BlockSpec((1, tile_r * w, gc), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, gc), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, gc), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hg, tile_r, m, w), lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r * w, gc), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_r * w, gc), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, gc), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, gc), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hg, tile_r, m, w), lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret or _env_interpret(),
+    )(q, k, v, bias, dout)
+    return dq, dk, dv, dbias
+
+
+def _dscf_bwd_mode() -> str:
+    import os
+
+    mode = os.environ.get("IR_ADS_DSCF_BWD", "auto")
+    if mode in ("xla", "pallas"):
+        return mode
+    if os.environ.get("IR_ADS_PALLAS_INTERPRET") == "1":
+        return "pallas"
+    import jax as _jax
+
+    return "pallas" if _jax.default_backend() == "tpu" else "xla"

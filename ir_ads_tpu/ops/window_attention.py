@@ -116,9 +116,39 @@ def window_attention(
     ).astype(v.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def gather_rel_pos_bias(table: jax.Array, wh: int, ww: int) -> jax.Array:
-    """Gather the (heads, N, N) bias from the ((2wh-1)(2ww-1), heads) table."""
+    """Gather the (heads, N, N) bias from the ((2wh-1)(2ww-1), heads) table.
+
+    custom_vjp: XLA lowers the natural vjp (scatter-add of N^2 rows into
+    529 table rows) to a serial scatter that profiled 1.38 ms per (stream,
+    block) at stage 2 — ~4600x its flop count (r5f pallas-arm profile,
+    fusion.21-24).  The backward here is the algebraically identical
+    one-hot contraction dT = onehot(idx)^T @ dbias_flat: one (T, N^2) x
+    (N^2, heads) MXU dot built from an iota compare."""
     idx = jnp.asarray(relative_position_index(wh, ww).reshape(-1))
     n = wh * ww
     bias = jnp.take(table, idx, axis=0).reshape(n, n, -1)
     return bias.transpose(2, 0, 1)
+
+
+def _gather_rpb_fwd(table, wh, ww):
+    return gather_rel_pos_bias(table, wh, ww), None
+
+
+def _gather_rpb_bwd(wh, ww, res, g):
+    del res
+    t_rows = (2 * wh - 1) * (2 * ww - 1)
+    idx = jnp.asarray(relative_position_index(wh, ww).reshape(-1))
+    onehot = (
+        idx[None, :] == jnp.arange(t_rows, dtype=idx.dtype)[:, None]
+    ).astype(jnp.float32)  # (T, N*N)
+    gflat = g.transpose(1, 2, 0).reshape(idx.shape[0], -1)  # (N*N, heads)
+    dtable = jax.lax.dot_general(
+        onehot, gflat.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(g.dtype)
+    return (dtable,)
+
+
+gather_rel_pos_bias.defvjp(_gather_rpb_fwd, _gather_rpb_bwd)

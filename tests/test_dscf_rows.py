@@ -317,3 +317,69 @@ def test_offset_head_shift_variant_matches_conv(monkeypatch):
     )
     got = np.asarray(m.apply(variables, x), np.float32)
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
+
+
+@pytest.mark.parametrize("m,mp", [(8, 8), (5, 8)])
+def test_rows_bwd_kernel_matches_reference_vjp(m, mp):
+    """Round-5 manual backward (pallas_dscf_rows_bwd): grads for q/k/v/bias
+    match jax.vjp of the rows reference, incl. padded keys; dbias leaves in
+    the rows layout the rpe builder's backward consumes."""
+    from ir_ads_tpu.ops.pallas_dscf import pallas_dscf_rows_bwd
+
+    bg, h, w, gc, hg = 2, 8, 16, 16, 2
+    scale = 0.25
+    ks = jax.random.split(jax.random.PRNGKey(7), 5)
+    q = jax.random.normal(ks[0], (bg, h * w, gc), jnp.float32)
+    k = jax.random.normal(ks[1], (bg, mp, gc), jnp.float32)
+    v = jax.random.normal(ks[2], (bg, mp, gc), jnp.float32)
+    if mp != m:
+        k = k.at[:, m:].set(3.0)
+        v = v.at[:, m:].set(5.0)
+    bias = jax.random.normal(ks[3], (bg, hg, h, m, w), jnp.float32)
+    g = jax.random.normal(ks[4], (bg, h * w, gc), jnp.float32)
+
+    dq, dk, dv, dbias = pallas_dscf_rows_bwd(
+        q, k, v, bias, g, scale, hg, interpret=True
+    )
+    _, vjp = jax.vjp(
+        lambda a, b, c, d: dscf_rows_reference(a, b, c, d, scale, hg),
+        q, k, v, bias,
+    )
+    wq, wk, wv, wb = vjp(g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(wq),
+                               rtol=5e-4, atol=5e-4)
+    # padded key rows must carry zero grads
+    if mp != m:
+        assert float(jnp.max(jnp.abs(dk[:, m:]))) == 0.0
+        assert float(jnp.max(jnp.abs(dv[:, m:]))) == 0.0
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(wk),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(wv),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(dbias), np.asarray(wb),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_rows_bwd_dispatch_through_custom_vjp(monkeypatch):
+    """dscf_attention_rows grads via IR_ADS_DSCF_BWD=pallas == xla."""
+    from ir_ads_tpu.ops.pallas_dscf import dscf_attention_rows
+
+    monkeypatch.setenv("IR_ADS_PALLAS_INTERPRET", "1")
+    bg, h, w, gc, hg, m = 1, 8, 16, 16, 2, 8
+    scale = 0.25
+    ks = jax.random.split(jax.random.PRNGKey(9), 4)
+    q = jax.random.normal(ks[0], (bg, h * w, gc), jnp.float32)
+    k = jax.random.normal(ks[1], (bg, m, gc), jnp.float32)
+    v = jax.random.normal(ks[2], (bg, m, gc), jnp.float32)
+    bias = jax.random.normal(ks[3], (bg, hg, h, m, w), jnp.float32)
+
+    def loss(*args):
+        return jnp.sum(dscf_attention_rows(*args, scale, hg) ** 2)
+
+    grads = {}
+    for mode in ("pallas", "xla"):
+        monkeypatch.setenv("IR_ADS_DSCF_BWD", mode)
+        grads[mode] = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(grads["pallas"], grads["xla"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
