@@ -346,11 +346,13 @@ def ms_deform_attn_xla4(
                 vl.reshape(-1, hh, ww, head_dim),
                 ys.reshape(b * n_heads, lq * n_points),
                 xs.reshape(b * n_heads, lq * n_points),
-            ).reshape(b * n_heads, lq, n_points, 2, 2, head_dim)
+            ).reshape(b * n_heads, lq, n_points * 4, head_dim)
+            # (P, 2, 2) flattened onto one contraction axis: keeps
+            # head_dim on lanes (see _patch_level_contrib)
             out += jnp.einsum(
-                "blpyxd,blpyx->bld",
+                "blcd,blc->bld",
                 patches.astype(jnp.float32),
-                cellw,
+                cellw.reshape(b * n_heads, lq, n_points * 4),
                 preferred_element_type=jnp.float32,
             )
         else:
@@ -442,11 +444,19 @@ def _patch_level_contrib(hh, ww, vl4, loc_l, att_l):
         axis=-1,
     )
     ys, xs, cellw = _patch_tables(hh, ww, gxy, att_l)
+    d = vl4.shape[-1]
     patches = _gather_patch2x2(
         vl4, ys.reshape(g_, lq * p), xs.reshape(g_, lq * p)
-    ).reshape(g_, lq, p, 2, 2, vl4.shape[-1])
+    ).reshape(g_, lq, p * 4, d)
+    # Corner weighting as a (P*4)-contraction with head_dim on the minor
+    # (lane) axis.  The (..., P, 2, 2) form profiled 2.0-2.3 ms/layer at
+    # 800x1216 (r5f dino fwd profile, multiply_reduce_fusion.25-28): XLA
+    # laid the reduce out with the size-2 corner dims minor — 2 of 128
+    # lanes busy.  (P, 2, 2) are adjacent dims, so this reshape is free.
     return jnp.einsum(
-        "blpyxd,blpyx->bld", patches.astype(jnp.float32), cellw,
+        "blcd,blc->bld",
+        patches.astype(jnp.float32),
+        cellw.reshape(g_, lq, p * 4),
         preferred_element_type=jnp.float32,
     )
 
