@@ -151,7 +151,11 @@ _sample_points_bilinear_patch.defvjp(_spbp_fwd, _spbp_bwd)
 def _sample_points_bilinear(masks: jax.Array, coords: jax.Array) -> jax.Array:
     import os
 
-    impl = os.environ.get("IR_ADS_MASK_SAMPLE", "auto")
+    # default xla: the patch-gather variant CRASHES the TPU worker
+    # ("kernel fault") inside the 800x1216 DINO train step — isolated by
+    # the dev/run_r5h.sh bisect (patch_only crashed, level_only ran;
+    # dev/logs/r5h.log, 2026-08-21).  Kept opt-in for future toolchains.
+    impl = os.environ.get("IR_ADS_MASK_SAMPLE", "xla")
     if impl == "auto":
         impl = "patch" if jax.default_backend() == "tpu" else "xla"
     if impl == "patch":
