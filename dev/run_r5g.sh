@@ -25,12 +25,6 @@ IR_ADS_PROBE_TRAIN_TYPE=Adapter IR_ADS_ATTN_BWD=pallas \
   timeout 4200 python dev/probe_profile_train.py /tmp/tt_adapter \
   >> "$OUT" 2>&1
 
-note "train step: adapter-only recipe, xla bwd (control)"
-IR_ADS_PROBE_TRAIN_TYPE=Adapter IR_ADS_ATTN_BWD=xla \
-  IR_ADS_ATTN_BWD_TRAINABLES=all \
-  timeout 4200 python dev/probe_profile_train.py /tmp/tt_adapter_xla \
-  >> "$OUT" 2>&1
-
 note "env sweep: v7 stages 0-1 + BM3 combos (headline)"
 timeout 7200 python dev/sweep_env.py \
   'base=' \
@@ -38,5 +32,9 @@ timeout 7200 python dev/sweep_env.py \
   'bm3=IR_ADS_SWIN_BIASMASK=3' \
   'v7+bm3=IR_ADS_SWIN_ATTN=pallas7,pallas7,pallas6,pallas6;IR_ADS_SWIN_BIASMASK=3' \
   >> "$OUT" 2>&1
+
+note "dino eval fwd dispatch A/B: plain-xla4 vs level wrapper"
+IR_ADS_MSDEFORM_BWD=plain IR_ADS_MASK_SAMPLE=xla \
+  timeout 3600 python dev/probe_swinl_dino.py dino >> "$OUT" 2>&1
 
 echo "R5G_ALL_DONE" >> "$OUT"
