@@ -750,9 +750,13 @@ def _dscf_rows_bwd_kernel(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Mp, p*hc)
-        dv_ref[0] = dv_ref[0] + jnp.sum(
-            dv_full.reshape(mp, prg, gc), axis=1
-        )
+        # (Mp, prg*gc) -> (Mp, gc): summing lane blocks via static
+        # slices — a lane-splitting reshape is an unsupported Mosaic
+        # shape cast (the r5g compile failure)
+        dv_acc = dv_full[:, :gc]
+        for jj in range(1, prg):
+            dv_acc = dv_acc + dv_full[:, jj * gc : (jj + 1) * gc]
+        dv_ref[0] = dv_ref[0] + dv_acc
         # dP: lane contraction against tiled V — column block j = V_e dO_j^T
         dp = jax.lax.dot_general(
             vc, do_bd,
@@ -790,9 +794,10 @@ def _dscf_rows_bwd_kernel(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Mp, p*hc)
-        dk_ref[0] = dk_ref[0] + jnp.sum(
-            dk_full.reshape(mp, prg, gc), axis=1
-        )
+        dk_acc = dk_full[:, :gc]
+        for jj in range(1, prg):
+            dk_acc = dk_acc + dk_full[:, jj * gc : (jj + 1) * gc]
+        dk_ref[0] = dk_ref[0] + dk_acc
 
 
 def pallas_dscf_rows_bwd(
