@@ -92,6 +92,13 @@ CONFIGS = [
             # (tests/test_flat_input.py); in-context A/B 2026-08-19:
             # 74.15 -> 69.46 ms B=8 forward (dev/run_r4f.sh).
             "IR_ADS_FLAT_INPUT": "1",
+            # round-5: typed shift-mask fold (bias+rowmask band slab +
+            # shared column mask; bitwise-tested).  A/B 2026-08-20/21:
+            # 69.31 -> 69.04 (dev/logs/r5f.log) and 74.08 -> 73.66
+            # (dev/logs/r5g.log sweep) — small but reproduced twice.
+            # v7 whole-block at stages 0-1 (75.02) and DSCF offset
+            # shift-FMA (71.46) both measured LOSSES and stay off.
+            "IR_ADS_SWIN_BIASMASK": "3",
             # note: IR_ADS_SWIN_V4_ROWS=5 measured 10% faster per stage-0
             # call standalone (dev/probe_v4_cost) but the FULL sliding
             # program with 5-row bands SIGKILLs the remote compile helper
@@ -422,19 +429,33 @@ def main():
                         # patch-gather at big levels + fused one-hot MXU
                         # dots at small levels) + scanned enc/dec stacks
                         # — was 699.9 with per-pixel XLA gathers
-                        "dino_r50_2000q_fwd_800x1216_ms": 248.7,
+                        "dino_r50_2000q_fwd_800x1216_ms": 277.1,
+                        # round-5: full train step at the production
+                        # resolution (VERDICT r5 item 2) — b=1, 800x1216,
+                        # model+CDN+criterion+AdamW, loss 6291 -> 320
+                        # (dev/logs/r5h.log level_only; itemized budget in
+                        # dev/logs/r5i_dino_profile.log + COVERAGE.md):
+                        "dino_train_step_800x1216_ms": 2742.0,
                         "dino_note": (
-                            "xla4 deformable sampling (Mosaic dynamic-"
-                            "gather kernels kill this relay toolchain, "
-                            "dev/probe_dyngather.py). Train-step program "
-                            "still exceeds the remote compile helper; "
-                            "see dev/probe_dino_train_ladder.py."
+                            "xla4/xla5 deformable sampling (Mosaic "
+                            "dynamic-gather kernels kill this relay "
+                            "toolchain, dev/probe_dyngather.py). "
+                            "Train step was 3551.6 before the round-5 "
+                            "matched-mask criterion + msdeform "
+                            "remat-save fixes."
                         ),
-                        # tools/benchmark.py --task train, bs4 480x640, r5
-                        # kernels + CE one-hot fix (2026-08-19; VERDICT r3
-                        # item 4 — was 337.4 pre-fix):
-                        "train_step_bs4_ms": 212.0,
-                        "train_img_s": 18.9,
+                        # round-5 train-step record (probe_profile_train
+                        # chained instrument, bs4 480x640; r4's 212.0 was
+                        # the tools/benchmark.py instrument — the same
+                        # code read 257.9 on this instrument):
+                        # 257.9 -> 191.2 (attn bwd kernel + tail remat,
+                        # all-params) -> 151.1 adapter-only (the
+                        # reference's shipped TRAIN_TYPE recipe);
+                        # dev/logs/r5f.log + r5g.log.
+                        "train_step_bs4_ms": 191.2,
+                        "train_step_bs4_adapter_ms": 151.1,
+                        "train_img_s": 20.9,
+                        "train_img_s_adapter": 26.5,
                         "train_mxu_floor_ms_4x_fwd": 51.3,
                         "train_bwd_vs_2x_fwd_bound": 1.31,
                     },

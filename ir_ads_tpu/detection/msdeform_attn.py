@@ -249,6 +249,18 @@ def ms_deform_attn_xla3(
     return out.reshape(b, lq, n_heads * head_dim)
 
 
+def _corner_einsum_flat() -> bool:
+    """Corner-weighting einsum form: flat (P*4)-contraction (lane-aligned)
+    vs the (P, 2, 2) shape.  Both are exact.  Default pyx — the form
+    behind the recorded 248.7 ms r4 forward; the flat form's in-context
+    readings (277.1/280.1, dev/logs/r5i.log + r5g.log) never beat it and
+    the r5j A/B died in a stuck remote compile, so flat stays opt-in
+    (IR_ADS_MSDEFORM_EINSUM=flat) pending a clean measurement."""
+    import os
+
+    return os.environ.get("IR_ADS_MSDEFORM_EINSUM", "pyx") != "pyx"
+
+
 def _patch_tables(h: int, w: int, gxy: jax.Array, att: jax.Array):
     """Per-level 2x2-patch gather tables.
 
@@ -346,15 +358,27 @@ def ms_deform_attn_xla4(
                 vl.reshape(-1, hh, ww, head_dim),
                 ys.reshape(b * n_heads, lq * n_points),
                 xs.reshape(b * n_heads, lq * n_points),
-            ).reshape(b * n_heads, lq, n_points * 4, head_dim)
-            # (P, 2, 2) flattened onto one contraction axis: keeps
-            # head_dim on lanes (see _patch_level_contrib)
-            out += jnp.einsum(
-                "blcd,blc->bld",
-                patches.astype(jnp.float32),
-                cellw.reshape(b * n_heads, lq, n_points * 4),
-                preferred_element_type=jnp.float32,
             )
+            if _corner_einsum_flat():
+                # (P, 2, 2) flattened onto one contraction axis: keeps
+                # head_dim on lanes (see _patch_level_contrib)
+                out += jnp.einsum(
+                    "blcd,blc->bld",
+                    patches.reshape(
+                        b * n_heads, lq, n_points * 4, head_dim
+                    ).astype(jnp.float32),
+                    cellw.reshape(b * n_heads, lq, n_points * 4),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                out += jnp.einsum(
+                    "blpyxd,blpyx->bld",
+                    patches.reshape(
+                        b * n_heads, lq, n_points, 2, 2, head_dim
+                    ).astype(jnp.float32),
+                    cellw,
+                    preferred_element_type=jnp.float32,
+                )
         else:
             # corner tables for this level only (one-hot MXU routing)
             gx = gxy[..., 0]
@@ -447,16 +471,24 @@ def _patch_level_contrib(hh, ww, vl4, loc_l, att_l):
     d = vl4.shape[-1]
     patches = _gather_patch2x2(
         vl4, ys.reshape(g_, lq * p), xs.reshape(g_, lq * p)
-    ).reshape(g_, lq, p * 4, d)
-    # Corner weighting as a (P*4)-contraction with head_dim on the minor
-    # (lane) axis.  The (..., P, 2, 2) form profiled 2.0-2.3 ms/layer at
-    # 800x1216 (r5f dino fwd profile, multiply_reduce_fusion.25-28): XLA
-    # laid the reduce out with the size-2 corner dims minor — 2 of 128
-    # lanes busy.  (P, 2, 2) are adjacent dims, so this reshape is free.
+    )
+    if _corner_einsum_flat():
+        # Corner weighting as a (P*4)-contraction with head_dim on the
+        # minor (lane) axis.  The (..., P, 2, 2) form profiled
+        # 2.0-2.3 ms/layer at 800x1216 (r5f dino fwd profile,
+        # multiply_reduce_fusion.25-28): XLA laid the reduce out with the
+        # size-2 corner dims minor — 2 of 128 lanes busy.  (P, 2, 2) are
+        # adjacent dims, so this reshape is free.
+        return jnp.einsum(
+            "blcd,blc->bld",
+            patches.reshape(g_, lq, p * 4, d).astype(jnp.float32),
+            cellw.reshape(g_, lq, p * 4),
+            preferred_element_type=jnp.float32,
+        )
     return jnp.einsum(
-        "blcd,blc->bld",
-        patches.astype(jnp.float32),
-        cellw.reshape(g_, lq, p * 4),
+        "blpyxd,blpyx->bld",
+        patches.reshape(g_, lq, p, 2, 2, d).astype(jnp.float32),
+        cellw,
         preferred_element_type=jnp.float32,
     )
 
