@@ -92,13 +92,15 @@ CONFIGS = [
             # (tests/test_flat_input.py); in-context A/B 2026-08-19:
             # 74.15 -> 69.46 ms B=8 forward (dev/run_r4f.sh).
             "IR_ADS_FLAT_INPUT": "1",
-            # round-5: typed shift-mask fold (bias+rowmask band slab +
-            # shared column mask; bitwise-tested).  A/B 2026-08-20/21:
-            # 69.31 -> 69.04 (dev/logs/r5f.log) and 74.08 -> 73.66
-            # (dev/logs/r5g.log sweep) — small but reproduced twice.
-            # v7 whole-block at stages 0-1 (75.02) and DSCF offset
-            # shift-FMA (71.46) both measured LOSSES and stay off.
-            "IR_ADS_SWIN_BIASMASK": "3",
+            # round-5: the typed shift-mask fold (BIASMASK=3) measured
+            # −0.3/−0.4 ms in the forward A/Bs (dev/logs/r5f.log 69.31 ->
+            # 69.04; r5g sweep 74.08 -> 73.66) but its full sliding
+            # program stalled the relay compile service >36 min on the
+            # recording attempt (dev/logs: /tmp/bench_r5.log, 2026-08-21)
+            # — same hang class as the patch-embed kernel.  The −0.3 ms
+            # is not worth a timed-out recorded run; kept OFF here, opt
+            # in via env.  v7 whole-block at stages 0-1 (75.02) and DSCF
+            # offset shift-FMA (71.46) both measured LOSSES and stay off.
             # note: IR_ADS_SWIN_V4_ROWS=5 measured 10% faster per stage-0
             # call standalone (dev/probe_v4_cost) but the FULL sliding
             # program with 5-row bands SIGKILLs the remote compile helper
