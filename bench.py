@@ -254,6 +254,18 @@ def run_config(env: dict) -> dict:
         )()
         init_s = time.time() - t0
 
+        # round-5 negative result: emitting the argmax prediction map
+        # instead of the full-res logits (the product's real next step,
+        # val_mm.py:78) measured WORSE — p50 70.6 -> 71.7 ms: XLA does
+        # not fuse the channel argmax into the bilinear-upsample
+        # consumer, so it costs an extra full-res pass instead of saving
+        # one (/tmp/bench_r5c.log vs r5b, 2026-08-21).  Logits-out stays
+        # the recorded workload; IR_ADS_BENCH_LOGITS=0 opts into the
+        # argmax variant.
+        logits_out = os.environ.get(
+            "IR_ADS_BENCH_LOGITS", "1"
+        ) not in ("", "0")
+
         @jax.jit
         def _predict(v, r, d):
             # ONE program for extract + forward + flip-ensemble +
@@ -265,7 +277,10 @@ def run_config(env: dict) -> dict:
                 fwd, IMAGE, TILE, NUM_CLASSES, overlap=1.0 / 3.0, flip=True,
                 fuse=True,
             )
-            return fn(r, d)
+            out = fn(r, d)
+            if logits_out:
+                return out
+            return jnp.argmax(out, axis=-1).astype(jnp.int32)
 
         # distinct keys per modality: identical stream inputs let XLA CSE
         # dedupe shared-weight work in some configs (see dev/ablate_full.py)
@@ -281,7 +296,7 @@ def run_config(env: dict) -> dict:
             def body(carry, _):
                 r, d, _ = carry
                 out = _predict(v, r, d)
-                s = jnp.sum(out)
+                s = jnp.sum(out).astype(jnp.float32)
                 # chain BOTH streams: a loop-invariant dte would let XLA
                 # hoist dte-only work out of the scan (see dev/ablate_full)
                 z = (s * 0.0).astype(r.dtype)
