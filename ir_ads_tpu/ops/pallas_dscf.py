@@ -859,15 +859,15 @@ def pallas_dscf_rows_bwd(
 
 
 def _dscf_bwd_mode() -> str:
-    """Default xla: the rows bwd kernel is interpret-mode correct
-    (tests/test_dscf_rows.py) but the relay's tpu_compile_helper crashes
-    compiling it at the bench L0/L1 geometries (dev/logs/r5g.log
-    dscf_bwd_L0/L1, MosaicError HTTP 500, 2026-08-21) — suspect the 5-D
-    dbias output ref with per-(head, row) 2-D writes.  Opt-in via
-    IR_ADS_DSCF_BWD=pallas for toolchains that lower it."""
+    """Default auto (pallas on TPU): the original lane-splitting reshape
+    crashed Mosaic's infer-vector-layout (dev/logs/r5g.log); after the
+    static-slice-add rewrite the kernel compiles and runs on the relay
+    (L0 4.97 ms / L1 3.63 ms standalone, /tmp/probe_f.log) and the
+    in-context adapter-recipe train step measured 151.1 -> 137.2 ms with
+    it on (dev/logs + /tmp/train_dscfbwd.log, 2026-08-21)."""
     import os
 
-    mode = os.environ.get("IR_ADS_DSCF_BWD", "xla")
+    mode = os.environ.get("IR_ADS_DSCF_BWD", "auto")
     if mode in ("xla", "pallas"):
         return mode
     if os.environ.get("IR_ADS_PALLAS_INTERPRET") == "1":
