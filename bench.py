@@ -469,11 +469,11 @@ def main():
                         # all-params) -> 151.1 adapter-only (the
                         # reference's shipped TRAIN_TYPE recipe) ->
                         # 137.2 adapter-only + DSCF rows bwd kernel;
-                        # dev/logs/r5f.log + r5g.log + train_dscfbwd.
-                        # (191.2 all-params predates the DSCF bwd kernel.)
-                        "train_step_bs4_ms": 191.2,
+                        # all-params with it: 169.7 (dev/logs/
+                        # r5_train_all_dscf.log).
+                        "train_step_bs4_ms": 169.7,
                         "train_step_bs4_adapter_ms": 137.2,
-                        "train_img_s": 20.9,
+                        "train_img_s": 23.6,
                         "train_img_s_adapter": 29.1,
                         "train_mxu_floor_ms_4x_fwd": 51.3,
                         "train_bwd_vs_2x_fwd_bound": 1.31,
