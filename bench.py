@@ -446,7 +446,7 @@ def main():
                         # patch-gather at big levels + fused one-hot MXU
                         # dots at small levels) + scanned enc/dec stacks
                         # — was 699.9 with per-pixel XLA gathers
-                        "dino_r50_2000q_fwd_800x1216_ms": 277.1,
+                        "dino_r50_2000q_fwd_800x1216_ms": 249.0,
                         # round-5: full train step at the production
                         # resolution (VERDICT r5 item 2) — b=1, 800x1216,
                         # model+CDN+criterion+AdamW, loss 6291 -> 320
