@@ -92,15 +92,15 @@ CONFIGS = [
             # (tests/test_flat_input.py); in-context A/B 2026-08-19:
             # 74.15 -> 69.46 ms B=8 forward (dev/run_r4f.sh).
             "IR_ADS_FLAT_INPUT": "1",
-            # round-5: the typed shift-mask fold (BIASMASK=3) measured
-            # −0.3/−0.4 ms in the forward A/Bs (dev/logs/r5f.log 69.31 ->
-            # 69.04; r5g sweep 74.08 -> 73.66) but its full sliding
-            # program stalled the relay compile service >36 min on the
-            # recording attempt (dev/logs: /tmp/bench_r5.log, 2026-08-21)
-            # — same hang class as the patch-embed kernel.  The −0.3 ms
-            # is not worth a timed-out recorded run; kept OFF here, opt
-            # in via env.  v7 whole-block at stages 0-1 (75.02) and DSCF
-            # offset shift-FMA (71.46) both measured LOSSES and stay off.
+            # round-5: typed shift-mask fold — the recorded run that
+            # CROSSED vs_baseline 1.0: 57.284 fps / 1.005, forward
+            # 68.9 ms, p50 69.8 (dev/logs/bench_r5_bm3.log).  Its sliding
+            # program compiles SLOWLY (740 s cold; one earlier attempt
+            # during a degraded relay window sat >36 min) — the cache
+            # makes reruns cheaper, and the fps is worth the compile_s
+            # hit.  v7 whole-block at stages 0-1 (75.02) and DSCF offset
+            # shift-FMA (71.46) both measured LOSSES and stay off.
+            "IR_ADS_SWIN_BIASMASK": "3",
             # note: IR_ADS_SWIN_V4_ROWS=5 measured 10% faster per stage-0
             # call standalone (dev/probe_v4_cost) but the FULL sliding
             # program with 5-row bands SIGKILLs the remote compile helper
